@@ -1,0 +1,91 @@
+"""FAR/NAR transformer: shapes, causality, and variant coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vptr_tpu.models.transformer import VPTRFormerFAR, VPTRFormerNAR
+
+RNG = np.random.default_rng(11)
+
+TINY = dict(enc_h=8, enc_w=8, d_model=24, num_heads=4, window=4,
+            dropout=0.0, drop_path=0.0, ffn_hidden_ratio=2)
+
+
+def _feats(n, t, d=24):
+    return jnp.asarray(RNG.normal(size=(n, t, 8, 8, d)).astype(np.float32))
+
+
+def test_far_shapes_and_relu():
+    model = VPTRFormerFAR(num_past_frames=4, num_future_frames=4,
+                          num_encoder_layers=2, **TINY)
+    x = _feats(2, 7)  # Tp+Tf-1 teacher-forcing length
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == x.shape
+    assert np.asarray(out).min() >= 0.0
+
+
+def test_far_is_causal():
+    """Output at frame t must not depend on input frames > t — the property
+    the reference enforces with its triu mask (VidHRFormer_modules.py:78-82)."""
+    model = VPTRFormerFAR(num_past_frames=4, num_future_frames=4,
+                          num_encoder_layers=2, **TINY)
+    x = _feats(1, 6)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out1 = np.asarray(model.apply(variables, x))
+    x2 = np.asarray(x).copy()
+    # random (not constant) perturbation: LayerNorms absorb constant shifts
+    x2[:, 4:] += RNG.normal(size=x2[:, 4:].shape).astype(np.float32)
+    out2 = np.asarray(model.apply(variables, jnp.asarray(x2)))
+    np.testing.assert_allclose(out1[:, :4], out2[:, :4], atol=1e-4, rtol=1e-4)
+    assert np.abs(out1[:, 4:] - out2[:, 4:]).max() > 1e-3
+
+
+@pytest.mark.parametrize("tslma", [False, True])
+def test_nar_shapes(tslma):
+    model = VPTRFormerNAR(num_past_frames=4, num_future_frames=5,
+                          num_encoder_layers=1, num_decoder_layers=1,
+                          tslma=tslma, rpe=True, **TINY)
+    x = _feats(2, 4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    out = model.apply(variables, x,
+                      mutable=["batch_stats"] if "batch_stats" in variables
+                      else [])
+    if isinstance(out, tuple):
+        out = out[0]
+    assert out.shape == (2, 5, 8, 8, 24)
+    assert np.asarray(out).min() >= 0.0
+
+
+def test_nar_has_frame_queries_and_nce():
+    model = VPTRFormerNAR(num_past_frames=2, num_future_frames=3,
+                          num_encoder_layers=1, num_decoder_layers=1,
+                          rpe=False, **TINY)
+    x = _feats(1, 2)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    assert variables["params"]["frame_queries"].shape == (3, 8, 8, 24)
+
+    proj_vars = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 8, 8, 24)),
+                           method=model.nce_project)
+    proj = model.apply(proj_vars, jnp.ones((1, 3, 8, 8, 24)),
+                       method=model.nce_project)
+    assert proj.shape == (1, 3, 8, 8, 24)
+
+
+def test_dropout_rngs_change_output_in_train_mode():
+    model = VPTRFormerFAR(num_past_frames=2, num_future_frames=2,
+                          num_encoder_layers=1,
+                          **{**TINY, "dropout": 0.5, "drop_path": 0.3})
+    x = _feats(4, 3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    o1 = model.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = model.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
+    # deterministic eval is reproducible
+    e1 = model.apply(variables, x)
+    e2 = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

@@ -1,0 +1,227 @@
+"""Datasets: MovingMNIST npz, KTH/BAIR frame folders, synthetic generator.
+
+Index-addressable numpy datasets (``__len__`` / ``get(i, rng)``) feeding the
+prefetching loader. Splits and clip-chopping match the reference
+(reference: utils/dataset.py:81-357).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vptr_tpu.data.transforms import ClipTransform
+
+KTH_ACTIONS = ("boxing", "handclapping", "handwaving", "jogging_no_empty",
+               "running_no_empty", "walking_no_empty")  # utils/dataset.py:88
+
+
+class ClipDataset:
+    """Generic clip dataset over lists of frame image paths
+    (reference: utils/dataset.py:220-269)."""
+
+    def __init__(self, clips: List[List[Path]], num_past: int, num_future: int,
+                 transform: ClipTransform, color_mode: str = "grey_scale"):
+        self.clips = clips
+        self.num_past = num_past
+        self.num_future = num_future
+        self.transform = transform
+        self.color_mode = color_mode
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def get(self, index: int,
+            rng: Optional[np.random.Generator] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        frames = []
+        for p in self.clips[index]:
+            img = Image.open(p)
+            img = img.convert("RGB" if self.color_mode == "RGB" else "L")
+            arr = np.asarray(img, np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            frames.append(arr)
+        clip = self.transform(np.stack(frames), rng)
+        return clip[:self.num_past], clip[-self.num_future:]
+
+
+def chop_clips(folder: Path, clip_length: int) -> List[List[Path]]:
+    """Chop a frame folder into non-overlapping clips, centering the kept
+    range (reference: utils/dataset.py:138-148)."""
+    img_files = sorted(folder.glob("*"))
+    n = len(img_files) // clip_length
+    rem = len(img_files) % clip_length
+    img_files = img_files[rem // 2: rem // 2 + n * clip_length]
+    return [img_files[i * clip_length:(i + 1) * clip_length]
+            for i in range(n)]
+
+
+def kth_dataset(root: str, transform: ClipTransform, split: str = "train",
+                num_past: int = 10, num_future: int = 10,
+                val_person_ids: Optional[Sequence[int]] = None,
+                actions: Sequence[str] = KTH_ACTIONS,
+                rng: Optional[np.random.Generator] = None):
+    """KTH: persons 1-16 train (one held out for val), 17-25 test
+    (reference: utils/dataset.py:107-116). Returns ClipDataset, or
+    (train, val) pair for split='train'."""
+    root = Path(root)
+    if split == "test":
+        person_ids = list(range(17, 26))
+    else:
+        person_ids = list(range(1, 17))
+        if val_person_ids is None:
+            rng = rng or np.random.default_rng()
+            val_person_ids = [int(rng.integers(1, 17))]
+        person_ids = [p for p in person_ids if p not in val_person_ids]
+
+    def folders_for(ids):
+        out = []
+        for a in actions:
+            apath = root / a
+            if not apath.exists():
+                continue
+            for s in sorted(os.listdir(apath)):
+                if ".avi" in s:
+                    continue
+                try:
+                    pid = int(s.strip().split("_")[0][-2:])
+                except ValueError:
+                    continue
+                if pid in ids:
+                    out.append(apath / s)
+        return sorted(out)
+
+    clip_len = num_past + num_future
+
+    def build(ids):
+        clips = []
+        for f in folders_for(ids):
+            clips.extend(chop_clips(f, clip_len))
+        return ClipDataset(clips, num_past, num_future, transform,
+                           "grey_scale")
+
+    if split == "test":
+        return build(person_ids)
+    return build(person_ids), build(list(val_person_ids))
+
+
+def bair_dataset(root: str, transform: ClipTransform, split: str = "train",
+                 num_past: int = 2, num_future: int = 10,
+                 train_val_ratio: float = 0.95, seed: int = 2021):
+    """BAIR: pre-split train/test folders of example_*/NNNN.png; train gets a
+    seeded 95/5 train/val split (reference: utils/dataset.py:55-64)."""
+    root = Path(root) / ("train" if split != "test" else "test")
+    clip_len = num_past + num_future
+    clips: List[List[Path]] = []
+    for folder in sorted(root.iterdir()):
+        if folder.is_dir():
+            clips.extend(chop_clips(folder, clip_len))
+    if split == "test":
+        return ClipDataset(clips, num_past, num_future, transform, "RGB")
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(clips))
+    n_train = int(len(clips) * train_val_ratio)
+    train = ClipDataset([clips[i] for i in perm[:n_train]], num_past,
+                        num_future, transform, "RGB")
+    val = ClipDataset([clips[i] for i in perm[n_train:]], num_past,
+                      num_future, transform, "RGB")
+    return train, val
+
+
+class MovingMNISTNpz:
+    """MovingMNIST .npz with ``clips`` index array + ``input_raw_data`` frames
+    (reference: utils/dataset.py:290-344). Frames stored (N, C, H, W)."""
+
+    def __init__(self, path: str, transform: ClipTransform):
+        arr = np.load(path)
+        self.clips_index = arr["clips"]          # (2, num_clips, 2)
+        self.frames = arr["input_raw_data"]      # (total, C, H, W)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return self.clips_index.shape[1]
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        ci = self.clips_index[:, index, :]
+        psi, plen = int(ci[0, 0]), int(ci[0, 1])
+        fsi, flen = int(ci[1, 0]), int(ci[1, 1])
+        past = self.frames[psi:psi + plen]
+        future = self.frames[fsi:fsi + flen]
+        clip = np.concatenate([past, future], axis=0).astype(np.float32)
+        clip = clip.transpose(0, 2, 3, 1)        # -> (T, H, W, C)
+        clip = self.transform(clip, rng)
+        return clip[:plen], clip[-flen:]
+
+
+class SyntheticMovingMNIST:
+    """Procedural bouncing-digits clips — shape/statistics compatible stand-in
+    when the real MovingMNIST npz is absent (benchmarks, CI, smoke tests).
+
+    Two glyphs bounce linearly in a 64x64 canvas with pixel-max compositing,
+    like the canonical generator. Deterministic per (seed, index).
+    """
+
+    GLYPHS = None  # lazily rendered 0-9 bitmaps
+
+    def __init__(self, num_clips: int = 2048, num_past: int = 10,
+                 num_future: int = 10, size: int = 64, digit_size: int = 20,
+                 num_digits: int = 2, seed: int = 0,
+                 transform: Optional[ClipTransform] = None):
+        self.num_clips = num_clips
+        self.num_past = num_past
+        self.num_future = num_future
+        self.size = size
+        self.digit_size = digit_size
+        self.num_digits = num_digits
+        self.seed = seed
+        self.transform = transform
+        if SyntheticMovingMNIST.GLYPHS is None:
+            SyntheticMovingMNIST.GLYPHS = self._render_glyphs(digit_size)
+
+    @staticmethod
+    def _render_glyphs(size: int) -> np.ndarray:
+        from PIL import Image, ImageDraw, ImageFont
+
+        font = ImageFont.load_default()
+        glyphs = []
+        for d in range(10):
+            img = Image.new("L", (16, 16), 0)
+            ImageDraw.Draw(img).text((4, 2), str(d), fill=255, font=font)
+            img = img.resize((size, size), Image.BILINEAR)
+            glyphs.append(np.asarray(img, np.float32) / 255.0)
+        return np.stack(glyphs)
+
+    def __len__(self) -> int:
+        return self.num_clips
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        r = np.random.default_rng((self.seed, index))
+        t_total = self.num_past + self.num_future
+        canvas = np.zeros((t_total, self.size, self.size, 1), np.float32)
+        lim = self.size - self.digit_size
+        for _ in range(self.num_digits):
+            glyph = self.GLYPHS[r.integers(10)]
+            pos = r.uniform(0, lim, size=2)
+            vel = r.uniform(2.0, 5.0, size=2) * r.choice([-1, 1], size=2)
+            for t in range(t_total):
+                y, x = int(round(pos[0])), int(round(pos[1]))
+                region = canvas[t, y:y + self.digit_size,
+                                x:x + self.digit_size, 0]
+                np.maximum(region, glyph, out=region)
+                pos += vel
+                for k in range(2):  # bounce
+                    if pos[k] < 0:
+                        pos[k] = -pos[k]
+                        vel[k] = -vel[k]
+                    if pos[k] > lim:
+                        pos[k] = 2 * lim - pos[k]
+                        vel[k] = -vel[k]
+        if self.transform is not None:
+            canvas = self.transform(canvas, rng)
+        return canvas[:self.num_past], canvas[-self.num_future:]

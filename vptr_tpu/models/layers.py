@@ -1,0 +1,347 @@
+"""Core transformer layers: attention, conv-FFN, norms, stochastic depth.
+
+Rebuilt TPU-first from the behaviors of the reference's custom attention stack
+(reference: model/MultiHeadAttentionRPE.py, model/VidHRFormer_modules.py):
+
+* All attention is batched einsum over static shapes — window attention runs
+  as one (B*T*nWin, win^2, C) batch, never a Python loop.
+* Softmax is computed in float32 regardless of compute dtype.
+* Separate q/k/v projections (the reference's custom MHA also splits them,
+  MultiHeadAttentionRPE.py:50-53).
+* Relative position bias follows the Swin construction: a (2w-1)^2 x heads
+  table gathered through a precomputed index (MultiHeadAttentionRPE.py:366-387).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vptr_tpu.ops.window import (
+    pad_to_window,
+    unpad_from_window,
+    window_partition,
+    window_reverse,
+)
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+trunc_normal_002 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """Precomputed (win^2, win^2) index into the (2w-1)^2 bias table.
+
+    Mirrors the Swin-style construction (reference:
+    MultiHeadAttentionRPE.py:373-387). Static numpy — baked into the jaxpr.
+    """
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))          # (2, w, w)
+    flat = coords.reshape(2, -1)                            # (2, w*w)
+    rel = flat[:, :, None] - flat[:, None, :]               # (2, w*w, w*w)
+    rel = rel.transpose(1, 2, 0)                            # (w*w, w*w, 2)
+    rel[..., 0] += window - 1
+    rel[..., 1] += window - 1
+    rel[..., 0] *= 2 * window - 1
+    return rel.sum(-1)                                      # (w*w, w*w)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          mask: Optional[jnp.ndarray] = None,
+                          dropout_rate: float = 0.0,
+                          dropout_rng=None,
+                          dtype: Dtype = jnp.float32) -> jnp.ndarray:
+    """Attention over the second-to-last axis.
+
+    q: (..., H, Lq, D), k/v: (..., H, Lk, D). ``bias`` broadcasts to
+    (..., H, Lq, Lk); ``mask`` is boolean, True = masked out. Softmax in fp32.
+    """
+    depth = q.shape[-1]
+    scale = depth ** -0.5
+    logits = jnp.einsum("...qd,...kd->...qk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, jnp.float32(-1e30), logits)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(dtype)
+    return jnp.einsum("...qk,...kd->...qd", weights, v,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Generic MHA with separate q/k/v/out projections.
+
+    Operates on (..., L, C) with arbitrary leading batch dims. Optional
+    additive ``bias`` of shape (heads, Lq, Lk) and boolean ``mask`` (Lq, Lk).
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None,
+                 deterministic: bool = True):
+        assert self.dim % self.num_heads == 0
+        hd = self.dim // self.num_heads
+        dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
+                                      kernel_init=self.kernel_init,
+                                      bias_init=nn.initializers.zeros,
+                                      name=name)
+        q = dense("q_proj")(q_in)
+        k = dense("k_proj")(k_in)
+        v = dense("v_proj")(v_in)
+
+        def split(x):  # (..., L, C) -> (..., H, L, D)
+            x = x.reshape(x.shape[:-1] + (self.num_heads, hd))
+            return jnp.moveaxis(x, -2, -3)
+
+        q, k, v = split(q), split(k), split(v)
+        drop_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            drop_rng = self.make_rng("dropout")
+        out = dot_product_attention(q, k, v, bias=bias, mask=mask,
+                                    dropout_rate=self.dropout,
+                                    dropout_rng=drop_rng, dtype=self.dtype)
+        out = jnp.moveaxis(out, -3, -2)
+        out = out.reshape(out.shape[:-2] + (self.dim,))
+        return dense("out_proj")(out)
+
+
+class WindowAttention(nn.Module):
+    """Local spatial window self-attention over (N, T, H, W, C).
+
+    Absolute mode adds a 2D sine embedding to the q/k inputs pre-projection;
+    RPE mode adds a learned relative bias to the logits instead
+    (reference: VidHRFormer_modules.py:321-357 + MultiHeadAttentionRPE.py:629-650).
+    ``value`` may differ from ``x`` (NAR decoder self-attention separates the
+    query-pos-augmented q/k from the raw value, VidHRFormer_modules.py:176-178).
+    """
+
+    dim: int
+    num_heads: int
+    window: int = 4
+    dropout: float = 0.0
+    rpe: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos2d, *, value=None, deterministic: bool = True):
+        n, t, h, w, c = x.shape
+        tokens = self.window * self.window
+
+        bias = None
+        if self.rpe:
+            table = self.param(
+                "rpe_table", trunc_normal_002,
+                ((2 * self.window - 1) ** 2, self.num_heads), jnp.float32)
+            idx = relative_position_index(self.window).reshape(-1)
+            bias = table[idx].reshape(tokens, tokens, self.num_heads)
+            bias = bias.transpose(2, 0, 1)  # (heads, L, L)
+
+        def to_windows(y):
+            y = y.reshape(n * t, h, w, c)
+            y, offs = pad_to_window(y, self.window)
+            return window_partition(y, self.window), offs, y.shape[1:3]
+
+        xw, offs, padded_hw = to_windows(x)
+        if self.rpe:
+            qk_in = xw
+        else:
+            qk_in = xw + pos2d.reshape(1, tokens, c).astype(xw.dtype)
+        if value is None:
+            vw = xw
+        else:
+            vw, _, _ = to_windows(value)
+
+        out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                 dtype=self.dtype, name="attn")(
+            qk_in, qk_in, vw, bias=bias, deterministic=deterministic)
+        out = window_reverse(out, self.window, padded_hw)
+        out = unpad_from_window(out, (h, w), offs)
+        return out.reshape(n, t, h, w, c)
+
+
+class TemporalAttention(nn.Module):
+    """Full attention over the time axis, factored per spatial location.
+
+    Input (N, T, H, W, C); every (n, h, w) column attends over its T tokens
+    (reference: VidHRFormer_modules.py:74-84 reshapes to (T, N*H*W, C)).
+    A static causal mask implements the FAR variant — built at trace time,
+    not per step on host like the reference (VidHRFormer_modules.py:78-82).
+    Cross-attention: pass ``kv`` (N, Tk, H, W, C) and per-axis pos embeds.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_q, *, kv=None, pos_k=None,
+                 deterministic: bool = True):
+        n, t, h, w, c = x.shape
+        # (N, T, H, W, C) -> (N, H*W, T, C): batch over columns, attend over T.
+        def cols(y):
+            return y.transpose(0, 2, 3, 1, 4).reshape(n, h * w, y.shape[1], c)
+
+        q_in = cols(x) + pos_q[None, None, :, :].astype(x.dtype)
+        if kv is None:
+            k_in, v_in = q_in, cols(x)
+        else:
+            kcols = cols(kv)
+            k_in = kcols + pos_k[None, None, :, :].astype(x.dtype)
+            v_in = kcols
+
+        mask = None
+        if self.causal and kv is None:
+            mask = np.triu(np.ones((t, t), dtype=bool), k=1)
+            mask = jnp.asarray(mask)
+
+        out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                 dtype=self.dtype, name="attn")(
+            q_in, k_in, v_in, mask=mask, deterministic=deterministic)
+        return out.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+
+class LayerNormHWC(nn.Module):
+    """LayerNorm over the full (H, W, C) feature map with per-element affine.
+
+    Equivalent to torch ``nn.LayerNorm((C, H, W))`` on NCHW input
+    (reference: VidHRFormer_modules.py:398,411,417) — normalizes each sample
+    over all H*W*C values. Shape-bound to the latent geometry, as upstream.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., H, W, C)
+        shape = x.shape[-3:]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2, -1), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2, -1), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def make_norm(kind: str, *, dtype, axis_name: Optional[str] = None,
+              name: Optional[str] = None, use_running_average=None):
+    """Norm factory for conv stacks on (..., H, W, C).
+
+    ``batch`` matches the reference's BatchNorm2d (momentum 0.1 torch ==
+    flax momentum 0.9); ``group``/``layer``/``instance`` are the TPU-friendly
+    swaps (documented divergence — see tests/test_autoencoder.py parity notes).
+    """
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=use_running_average,
+                            momentum=0.9, epsilon=1e-5, dtype=dtype,
+                            axis_name=axis_name, name=name)
+    if kind == "group":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+    if kind == "layer":
+        return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
+    if kind == "instance":
+        # InstanceNorm == GroupNorm with one group per channel.
+        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                            dtype=dtype, name=name)
+    raise ValueError(f"unknown norm kind {kind!r}")
+
+
+class MlpDWBN(nn.Module):
+    """HRFormer conv feed-forward: 1x1 -> norm -> GELU -> 3x3 depthwise ->
+    norm -> GELU -> drop -> 1x1 -> norm -> GELU -> drop.
+
+    (reference: VidHRFormer_modules.py:376-442.) ``norm='layer'`` uses the
+    shape-bound LayerNorm over (H, W, C) (torch LayerNorm((C,H,W)));
+    ``norm='batch'`` uses BatchNorm2d semantics. GELU is exact (erf), matching
+    torch nn.GELU.
+    """
+
+    dim: int
+    hidden_dim: int
+    norm: str = "layer"               # layer | batch
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, train: bool = False):
+        n, t, h, w, c = x.shape
+        y = x.reshape(n * t, h, w, c)
+
+        def norm(tag, z):
+            if self.norm == "layer":
+                return LayerNormHWC(dtype=self.dtype, name=f"norm{tag}")(z)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name=f"norm{tag}")(z)
+
+        gelu = lambda z: jax.nn.gelu(z, approximate=False)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+
+        y = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
+                    kernel_init=xavier_uniform, name="fc1")(y)
+        y = gelu(norm(1, y))
+        y = nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                    feature_group_count=self.hidden_dim, dtype=self.dtype,
+                    kernel_init=xavier_uniform, name="dw3x3")(y)
+        y = drop(gelu(norm(2, y)))
+        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                    kernel_init=xavier_uniform, name="fc2")(y)
+        y = drop(gelu(norm(3, y)))
+        return y.reshape(n, t, h, w, self.dim)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth — drop the whole residual branch per sample
+    (reference: VidHRFormer_modules.py:563-592)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Plain linear FFN: Linear -> GELU -> drop -> Linear -> drop
+    (reference: VidHRFormer_modules.py:50-55,86-89)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=xavier_uniform, name="linear1")(x)
+        y = drop(jax.nn.gelu(y, approximate=False))
+        y = nn.Dense(self.dim, dtype=self.dtype,
+                     kernel_init=xavier_uniform, name="linear2")(y)
+        return drop(y)

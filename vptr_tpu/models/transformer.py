@@ -1,0 +1,364 @@
+"""VidHRFormer latent video transformer — FAR and NAR variants.
+
+Capability parity with the reference transformer stack
+(reference: model/VidHRFormer.py, model/VidHRFormer_modules.py,
+model/VPTR_modules.py:98-197), redesigned for XLA:
+
+* One block = window spatial attention -> conv FFN -> factored temporal
+  attention -> linear FFN (pre-norm, residual, stochastic depth)
+  (reference: VidHRFormer_modules.py:30-93).
+* FAR: encoder-only with a static causal temporal mask (the reference builds
+  the mask on host per forward, VidHRFormer_modules.py:78-82 — here it is a
+  trace-time constant).
+* NAR: encoder over past + decoder over learned frame queries, with either
+  full temporal enc-dec attention or TSLMA windowed spatio-temporal attention
+  (reference: VidHRFormer_modules.py:125-211).
+* All sine position embeddings are trace-time constants (no device pinning).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vptr_tpu.models.layers import (
+    DropPath,
+    Mlp,
+    MlpDWBN,
+    MultiHeadAttention,
+    TemporalAttention,
+    WindowAttention,
+    xavier_uniform,
+)
+from vptr_tpu.models.position import (
+    position_embedding_1d,
+    position_embedding_2d,
+    position_embedding_3d,
+)
+from vptr_tpu.ops.window import temporal_window_partition, temporal_window_reverse
+
+Dtype = Any
+
+
+class EncoderBlock(nn.Module):
+    """VidHRFormerBlockEnc (reference: VidHRFormer_modules.py:30-93)."""
+
+    dim: int
+    num_heads: int
+    window: int = 4
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    ffn_hidden_ratio: int = 4
+    dim_feedforward: int = 2112
+    far: bool = False                  # causal temporal mask + LayerNorm conv-FFN
+    rpe: bool = False
+    conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos2d, pos_t, *, train: bool = False,
+                 deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        dp = DropPath(self.drop_path)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        ffn_norm = self.conv_ffn_norm or ("layer" if self.far else "batch")
+
+        # 1) local-window spatial self-attention
+        y = WindowAttention(self.dim, self.num_heads, self.window,
+                            self.dropout, rpe=self.rpe, dtype=self.dtype,
+                            name="slmhsa")(
+            ln("norm1")(x), pos2d, deterministic=deterministic)
+        x = x + dp(y, deterministic=deterministic)
+
+        # 2) conv feed-forward (cross-window mixing)
+        y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm=ffn_norm,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name="spatial_ffn")(
+            ln("norm2")(x), deterministic=deterministic, train=train)
+        x = x + dp(y, deterministic=deterministic)
+
+        # 3) temporal attention per spatial location
+        y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+                              causal=self.far, dtype=self.dtype,
+                              name="temporal")(
+            ln("norm3")(x), pos_t, deterministic=deterministic)
+        x = x + drop(y)
+
+        # 4) linear feed-forward
+        y = Mlp(self.dim, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name="ffn")(
+            ln("norm4")(x), deterministic=deterministic)
+        return x + drop(y)
+
+
+class DecoderBlockNAR(nn.Module):
+    """VidHRFormerBlockDecNAR (reference: VidHRFormer_modules.py:125-211)."""
+
+    dim: int
+    num_heads: int
+    window: int = 4
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    ffn_hidden_ratio: int = 4
+    dim_feedforward: int = 2112
+    tslma: bool = False
+    rpe: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, memory, pos2d, pos_t_future,
+                 pos_t_past, pos3d, *, train: bool = False,
+                 deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        dp = DropPath(self.drop_path)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+
+        # 1) window self-attention on queries: q/k carry query_pos, value not
+        #    (reference: VidHRFormer_modules.py:176-178)
+        t2 = ln("norm1")(tgt)
+        y = WindowAttention(self.dim, self.num_heads, self.window,
+                            self.dropout, rpe=self.rpe, dtype=self.dtype,
+                            name="slmhsa")(
+            t2 + query_pos, pos2d, value=t2, deterministic=deterministic)
+        tgt = tgt + dp(y, deterministic=deterministic)
+
+        # 2) conv FFN (LayerNorm flavor: AR_model default True,
+        #    VidHRFormer_modules.py:390)
+        y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
+                    dropout=self.dropout, dtype=self.dtype,
+                    name="spatial_ffn")(
+            ln("norm2")(tgt), deterministic=deterministic, train=train)
+        tgt = tgt + dp(y, deterministic=deterministic)
+
+        # 3) temporal self-attention over the Tf query frames
+        y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+                              dtype=self.dtype, name="temporal")(
+            ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
+        tgt = tgt + drop(y)
+
+        # 4) linear FFN
+        y = Mlp(self.dim, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name="ffn")(
+            ln("norm4")(tgt), deterministic=deterministic)
+        tgt = tgt + drop(y)
+
+        # 5) encoder-decoder attention
+        t5 = ln("norm5")(tgt)
+        if self.tslma:
+            y = TSLMA(self.dim, self.num_heads, self.window, self.dropout,
+                      dtype=self.dtype, name="tslma")(
+                memory, t5 + query_pos, pos3d, deterministic=deterministic)
+        else:
+            # full attention over time, per spatial location; query carries
+            # query_pos + future temporal pos (VidHRFormer_modules.py:200-206)
+            y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+                                  dtype=self.dtype, name="enc_dec")(
+                t5 + query_pos, pos_t_future, kv=memory, pos_k=pos_t_past,
+                deterministic=deterministic)
+        tgt = tgt + dp(y, deterministic=deterministic)
+
+        # 6) second conv FFN
+        y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
+                    dropout=self.dropout, dtype=self.dtype,
+                    name="spatial_ffn2")(
+            ln("norm6")(tgt), deterministic=deterministic, train=train)
+        return tgt + dp(y, deterministic=deterministic)
+
+
+class TSLMA(nn.Module):
+    """Temporal-spatial local multi-head attention: enc-dec attention over
+    (T x win^2) token sequences per window column
+    (reference: VidHRFormer_modules.py:219-284)."""
+
+    dim: int
+    num_heads: int
+    window: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, query, pos3d, *, deterministic: bool = True):
+        n, t1 = memory.shape[0], memory.shape[1]
+        t2, h, w = query.shape[1], query.shape[2], query.shape[3]
+        c = self.dim
+        win2 = self.window * self.window
+        mem_w = temporal_window_partition(memory, self.window)  # (B', T1*w2, C)
+        qry_w = temporal_window_partition(query, self.window)   # (B', T2*w2, C)
+        # pos3d: (T1+T2, win, win, C); keys take [0:T1], queries [T1:T1+T2]
+        pos = pos3d.reshape(t1 + t2, win2, c)
+        pos_k = pos[:t1].reshape(1, t1 * win2, c).astype(mem_w.dtype)
+        pos_q = pos[t1:t1 + t2].reshape(1, t2 * win2, c).astype(qry_w.dtype)
+        out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                 dtype=self.dtype, name="attn")(
+            qry_w + pos_q, mem_w + pos_k, mem_w, deterministic=deterministic)
+        return temporal_window_reverse(out, self.window, t2, (h, w))
+
+
+class VPTRFormerFAR(nn.Module):
+    """Fully-autoregressive latent transformer: encoder-only, causal in time
+    (reference: model/VPTR_modules.py:154-197).
+
+    Input/output: (N, T, h, w, d_model) latent feature maps, T <= Tp+Tf.
+    Output frame t predicts input frame t+1 (teacher forcing shift).
+    """
+
+    num_past_frames: int = 10
+    num_future_frames: int = 10
+    enc_h: int = 8
+    enc_w: int = 8
+    d_model: int = 528
+    num_heads: int = 8
+    num_encoder_layers: int = 12
+    window: int = 4
+    dropout: float = 0.1
+    drop_path: float = 0.1
+    ffn_hidden_ratio: int = 4
+    rpe: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool = False,
+                 deterministic: Optional[bool] = None):
+        if deterministic is None:
+            deterministic = not train
+        t = feats.shape[1]
+        t_max = self.num_past_frames + self.num_future_frames
+        assert t <= t_max, f"sequence length {t} exceeds {t_max}"
+        pos2d = position_embedding_2d(self.window, self.window, self.d_model)
+        pos_t = position_embedding_1d(t_max, self.d_model)[:t]
+
+        x = feats
+        for i in range(self.num_encoder_layers):
+            x = EncoderBlock(self.d_model, self.num_heads, self.window,
+                             self.dropout, self.drop_path,
+                             self.ffn_hidden_ratio,
+                             self.ffn_hidden_ratio * self.d_model,
+                             far=True, rpe=self.rpe, dtype=self.dtype,
+                             name=f"block{i}")(
+                x, pos2d, pos_t, train=train, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
+        return nn.relu(x)
+
+
+class VPTRFormerNAR(nn.Module):
+    """Non-autoregressive latent transformer: encoder over past features +
+    decoder over learned frame queries (reference: model/VPTR_modules.py:98-152).
+
+    Input (N, Tp, h, w, d_model) -> output (N, Tf, h, w, d_model).
+    """
+
+    num_past_frames: int = 10
+    num_future_frames: int = 10
+    enc_h: int = 8
+    enc_w: int = 8
+    d_model: int = 528
+    num_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    window: int = 4
+    dropout: float = 0.1
+    drop_path: float = 0.1
+    ffn_hidden_ratio: int = 4
+    tslma: bool = False
+    rpe: bool = True
+    conv_ffn_norm_enc: Optional[str] = None   # None -> batch (reference parity)
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        block_args = dict(dim=self.d_model, num_heads=self.num_heads,
+                          window=self.window, dropout=self.dropout,
+                          drop_path=self.drop_path,
+                          ffn_hidden_ratio=self.ffn_hidden_ratio,
+                          dim_feedforward=self.ffn_hidden_ratio * self.d_model,
+                          rpe=self.rpe, dtype=self.dtype)
+        self.enc_blocks = [
+            EncoderBlock(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
+                         name=f"enc_block{i}", **block_args)
+            for i in range(self.num_encoder_layers)]
+        self.enc_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.dec_blocks = [
+            DecoderBlockNAR(tslma=self.tslma, name=f"dec_block{i}",
+                            **block_args)
+            for i in range(self.num_decoder_layers)]
+        self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        # learned frame queries (reference: VPTR_modules.py:132)
+        self.frame_queries = self.param(
+            "frame_queries", xavier_uniform,
+            (self.num_future_frames, self.enc_h, self.enc_w, self.d_model),
+            jnp.float32)
+        # NCE projector (reference: VPTR_modules.py:135-137)
+        self.nce_fc1 = nn.Dense(self.d_model, dtype=self.dtype,
+                                kernel_init=xavier_uniform)
+        self.nce_fc2 = nn.Dense(self.d_model, dtype=self.dtype,
+                                kernel_init=xavier_uniform)
+
+    def __call__(self, past_feats, *, train: bool = False,
+                 deterministic: Optional[bool] = None):
+        if deterministic is None:
+            deterministic = not train
+        n, tp = past_feats.shape[0], past_feats.shape[1]
+        tf_ = self.num_future_frames
+        t_max = self.num_past_frames + tf_
+        pos2d = position_embedding_2d(self.window, self.window, self.d_model)
+        pos_t = position_embedding_1d(t_max, self.d_model)
+        pos3d = position_embedding_3d(t_max, self.window, self.window,
+                                      self.d_model) if self.tslma else None
+
+        x = past_feats
+        for block in self.enc_blocks:
+            x = block(x, pos2d, pos_t[:tp], train=train,
+                      deterministic=deterministic)
+        memory = self.enc_norm(x)
+
+        # queries broadcast over batch; target starts at zero
+        # (reference: VidHRFormer.py:46-48)
+        query_pos = jnp.broadcast_to(
+            self.frame_queries.astype(self.dtype)[None],
+            (n, tf_, self.enc_h, self.enc_w, self.d_model))
+        tgt = jnp.zeros_like(query_pos)
+
+        for block in self.dec_blocks:
+            tgt = block(tgt, query_pos, memory, pos2d, pos_t[tp:tp + tf_],
+                        pos_t[:tp], pos3d, train=train,
+                        deterministic=deterministic)
+        tgt = self.dec_norm(tgt)
+        return nn.relu(tgt)
+
+    def nce_project(self, feats):
+        """MLP projector for the BiPatchNCE loss
+        (reference: VPTR_modules.py:135-137). feats: (..., d_model)."""
+        return self.nce_fc2(nn.relu(self.nce_fc1(feats)))
+
+    def init_all(self, past_feats, *, train: bool = False,
+                 deterministic: Optional[bool] = None):
+        """Init entry point that touches every submodule (setup-style modules
+        only create params for traced paths, so plain init would miss the NCE
+        projector)."""
+        pred = self.__call__(past_feats, train=train,
+                             deterministic=deterministic)
+        self.nce_project(pred)
+        return pred
+
+
+def build_transformer(cfg, dtype=jnp.float32):
+    """Construct the FAR or NAR transformer from a TransformerConfig."""
+    common = dict(num_past_frames=cfg.num_past_frames,
+                  num_future_frames=cfg.num_future_frames,
+                  enc_h=cfg.enc_h, enc_w=cfg.enc_w, d_model=cfg.d_model,
+                  num_heads=cfg.n_heads, window=cfg.window_size,
+                  dropout=cfg.dropout, drop_path=cfg.drop_path,
+                  ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
+                  rpe=cfg.rpe, dtype=dtype)
+    if cfg.variant == "far":
+        return VPTRFormerFAR(num_encoder_layers=cfg.num_encoder_layers,
+                             **common)
+    if cfg.variant == "nar":
+        enc_norm = None if cfg.conv_ffn_norm == "auto" else cfg.conv_ffn_norm
+        return VPTRFormerNAR(num_encoder_layers=cfg.num_encoder_layers,
+                             num_decoder_layers=cfg.num_decoder_layers,
+                             tslma=cfg.tslma, conv_ffn_norm_enc=enc_norm,
+                             **common)
+    raise ValueError(f"unknown variant {cfg.variant!r}")

@@ -1,0 +1,67 @@
+"""Checkpoint / resume via orbax — preemption-safe step checkpoints.
+
+Replaces the reference's per-epoch ``torch.save`` tarballs (which embed a
+byte snapshot of the whole source tree, reference:
+utils/train_summary.py:130-160,200-223) with orbax step directories plus a
+config JSON; auto-resume picks the latest step (the reference requires
+hand-editing ``resume_ckpt``, train_FAR.py:142-143).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True))
+
+    def save(self, step: int, state: Any, *, config_json: Optional[str] = None,
+             history: Optional[dict] = None):
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if config_json is not None:
+            (self.directory / "config.json").write_text(config_json)
+        if history is not None:
+            (self.directory / "history.json").write_text(
+                json.dumps(history, default=float))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+
+    def load_history(self) -> dict:
+        p = self.directory / "history.json"
+        if p.exists():
+            return json.loads(p.read_text())
+        return {}
+
+    def close(self):
+        self._mgr.close()
+
+
+def restore_module_state(directory: str, template: Any,
+                         step: Optional[int] = None) -> Any:
+    """One-shot restore (e.g. loading the frozen stage-1 AE into stage 2,
+    reference: train_FAR.py:210)."""
+    mgr = CheckpointManager(directory)
+    try:
+        return mgr.restore(template, step)
+    finally:
+        mgr.close()

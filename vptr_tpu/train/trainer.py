@@ -1,0 +1,281 @@
+"""Experiment driver: build models, init/shard state, run the epoch loop.
+
+Covers the roles of all five reference train scripts
+(reference: train_AutoEncoder.py / train_FAR.py / train_NAR.py /
+train_FAR_mp.py / train_NAR_mp.py): stage selection comes from config, and
+multi-chip data-parallelism is the default execution mode (a 1-chip mesh is
+just the degenerate case) — no separate "_mp" code path.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vptr_tpu.config import ExperimentConfig
+from vptr_tpu.data.loader import build_loader
+from vptr_tpu.data.transforms import ReNormalize
+from vptr_tpu.losses import build_optimizer
+from vptr_tpu.models.autoencoder import build_autoencoder
+from vptr_tpu.models.discriminator import build_discriminator
+from vptr_tpu.models.transformer import build_transformer
+from vptr_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from vptr_tpu.train.checkpoint import CheckpointManager, restore_module_state
+from vptr_tpu.train.state import AETrainState, ModuleState, Stage2TrainState
+from vptr_tpu.train.steps import (
+    make_ae_eval_step,
+    make_ae_train_step,
+    make_far_eval_step,
+    make_far_train_step,
+    make_nar_eval_step,
+    make_nar_train_step,
+)
+from vptr_tpu.train.summary import (
+    SummaryWriter,
+    setup_logging,
+    visualize_batch_clips,
+)
+from vptr_tpu.utils.misc import AverageMeters, count_params, set_seed
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, mesh=None,
+                 write_outputs: bool = True):
+        self.cfg = cfg
+        self.dtype = _dtype_of(cfg.dtype)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh.data, cfg.mesh.model)
+        self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.replicated = NamedSharding(self.mesh, P())
+        self.write_outputs = write_outputs
+
+        self.renorm = ReNormalize(cfg.data.mean, cfg.data.std)
+        self._build_models()
+        self._build_steps()
+        if write_outputs:
+            self.logger = setup_logging(cfg.ckpt_dir)
+            self.writer = SummaryWriter(str(Path(cfg.ckpt_dir) / "tb"))
+            self.ckpt = CheckpointManager(str(Path(cfg.ckpt_dir) / "ckpt"),
+                                          keep=cfg.ckpt_keep)
+        else:
+            import logging
+
+            self.logger = logging.getLogger("vptr_tpu.silent")
+            self.writer = None
+            self.ckpt = None
+        self.history: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _build_models(self):
+        cfg = self.cfg
+        self.enc, self.dec = build_autoencoder(cfg.ae, dtype=self.dtype)
+        self.use_gan = cfg.loss.lam_gan is not None
+        self.disc = (build_discriminator(cfg.disc, dtype=self.dtype)
+                     if self.use_gan else None)
+        self.transformer = (build_transformer(cfg.transformer,
+                                              dtype=self.dtype)
+                            if cfg.stage in ("far", "nar") else None)
+        self.g_opt = build_optimizer(
+            cfg.optim, d_model=cfg.transformer.d_model)
+        self.d_opt = (build_optimizer(cfg.optim_d)
+                      if self.use_gan else None)
+
+    def _build_steps(self):
+        cfg = self.cfg
+        if cfg.stage == "ae":
+            train_step = make_ae_train_step(self.enc, self.dec, self.disc,
+                                            self.g_opt, self.d_opt, cfg.loss)
+            eval_step = make_ae_eval_step(self.enc, self.dec, self.disc,
+                                          cfg.loss)
+        elif cfg.stage == "far":
+            train_step = make_far_train_step(self.enc, self.dec,
+                                             self.transformer, self.disc,
+                                             self.g_opt, self.d_opt, cfg.loss)
+            eval_step = make_far_eval_step(self.enc, self.dec,
+                                           self.transformer, cfg.loss)
+        elif cfg.stage == "nar":
+            train_step = make_nar_train_step(self.enc, self.dec,
+                                             self.transformer, self.disc,
+                                             self.g_opt, self.d_opt, cfg.loss)
+            eval_step = make_nar_eval_step(self.enc, self.dec,
+                                           self.transformer, cfg.loss)
+        else:
+            raise ValueError(f"unknown stage {self.cfg.stage!r}")
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        rng = rng if rng is not None else set_seed(cfg.seed)
+        d = cfg.data
+        rngs = jax.random.split(rng, 8)
+        past = jnp.zeros((2, d.num_past_frames, d.img_size, d.img_size,
+                          d.img_channels), self.dtype)
+        future = jnp.zeros((2, d.num_future_frames, d.img_size, d.img_size,
+                            d.img_channels), self.dtype)
+        x = jnp.concatenate([past, future], axis=1)
+
+        enc_vars = self.enc.init(rngs[0], x, train=False)
+        feats = self.enc.apply(enc_vars, x, train=False)
+        dec_vars = self.dec.init(rngs[1], feats, train=False)
+        enc_state = ModuleState.from_variables(enc_vars)
+        dec_state = ModuleState.from_variables(dec_vars)
+
+        disc_state = None
+        if self.use_gan:
+            frames = x.reshape((-1,) + x.shape[2:])
+            disc_state = ModuleState.from_variables(
+                self.disc.init(rngs[2], frames, train=False))
+
+        if cfg.stage == "ae":
+            g_params = (enc_state.params, dec_state.params)
+            state = AETrainState(
+                step=jnp.zeros((), jnp.int32), rng=rngs[3],
+                enc=enc_state, dec=dec_state, disc=disc_state,
+                g_opt=self.g_opt.init(g_params),
+                d_opt=self.d_opt.init(disc_state.params)
+                if self.use_gan else None)
+        else:
+            # load the frozen stage-1 AE (reference: train_FAR.py:210)
+            if cfg.ae_ckpt:
+                ae_template = AETrainState(
+                    step=jnp.zeros((), jnp.int32), rng=rngs[3],
+                    enc=enc_state, dec=dec_state, disc=None, g_opt=None,
+                    d_opt=None)
+                restored = restore_module_state(cfg.ae_ckpt, ae_template)
+                enc_state, dec_state = restored.enc, restored.dec
+
+            t = cfg.transformer
+            tp = d.num_past_frames if cfg.stage == "nar" else None
+            feats_t = (feats[:, :d.num_past_frames] if cfg.stage == "nar"
+                       else feats[:, :-1])
+            init_method = ("init_all" if hasattr(self.transformer, "init_all")
+                           else "__call__")
+            t_vars = self.transformer.init(
+                {"params": rngs[4], "dropout": rngs[5]}, feats_t, train=False,
+                method=init_method)
+            t_state = ModuleState.from_variables(t_vars)
+            state = Stage2TrainState(
+                step=jnp.zeros((), jnp.int32), rng=rngs[3],
+                transformer=t_state, t_opt=self.g_opt.init(t_state.params),
+                enc=enc_state, dec=dec_state, disc=disc_state,
+                d_opt=self.d_opt.init(disc_state.params)
+                if self.use_gan else None)
+
+        state = jax.device_put(state, self.replicated)
+        return state
+
+    # ------------------------------------------------------------------
+    def param_counts(self, state) -> Dict[str, int]:
+        out = {"enc": count_params(state.enc.params),
+               "dec": count_params(state.dec.params)}
+        if getattr(state, "transformer", None) is not None:
+            out["transformer"] = count_params(state.transformer.params)
+        if state.disc is not None:
+            out["disc"] = count_params(state.disc.params)
+        return out
+
+    def put_batch(self, past: np.ndarray, future: np.ndarray):
+        past = jax.device_put(past.astype(np.float32), self.batch_sharding)
+        future = jax.device_put(future.astype(np.float32),
+                                self.batch_sharding)
+        return (past.astype(self.dtype), future.astype(self.dtype))
+
+    # ------------------------------------------------------------------
+    def train(self, state=None, epochs: Optional[int] = None):
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        epochs = epochs if epochs is not None else cfg.epochs
+        counts = self.param_counts(state)
+        self.logger.info("param counts: %s", counts)
+
+        start_epoch = 0
+        if self.ckpt is not None and cfg.resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                state = self.ckpt.restore(state)
+                self.history = self.ckpt.load_history()
+                start_epoch = int(self.history.get("epoch", 0))
+                self.logger.info("resumed from step %s (epoch %d)",
+                                 latest, start_epoch)
+
+        train_loader = build_loader(cfg.data, split="train", seed=cfg.seed,
+                                    host_id=jax.process_index(),
+                                    num_hosts=jax.process_count())
+        val_loader = build_loader(cfg.data, split="val", seed=cfg.seed)
+
+        for epoch in range(start_epoch + 1, start_epoch + epochs + 1):
+            epoch_start = datetime.now()
+            meters = AverageMeters()
+            t0, n_steps = time.perf_counter(), 0
+            for bi, (past, future) in enumerate(train_loader):
+                if (cfg.steps_per_epoch is not None
+                        and bi >= cfg.steps_per_epoch):
+                    break
+                state, metrics = self.train_step(
+                    state, *self.put_batch(past, future))
+                meters.update(jax.device_get(metrics))
+                n_steps += 1
+            jax.block_until_ready(state.step)
+            dt = time.perf_counter() - t0
+
+            avg = meters.averages()
+            avg["steps_per_sec"] = n_steps / max(dt, 1e-9)
+            if self.writer is not None:
+                self.writer.write_scalars(epoch, avg, prefix="train/")
+            self.logger.info("epoch %d train: %s", epoch,
+                             {k: round(v, 5) for k, v in avg.items()})
+            self._update_history("train", epoch, avg)
+
+            if epoch % cfg.val_per_epochs == 0:
+                vmeters = AverageMeters()
+                sample = None
+                for past, future in val_loader:
+                    metrics, pred = self.eval_step(
+                        state, *self.put_batch(past, future))
+                    vmeters.update(jax.device_get(metrics))
+                    sample = (past, future, jax.device_get(pred))
+                vavg = vmeters.averages()
+                if self.writer is not None:
+                    self.writer.write_scalars(epoch, vavg, prefix="val/")
+                self.logger.info("epoch %d val: %s", epoch,
+                                 {k: round(v, 5) for k, v in vavg.items()})
+                self._update_history("val", epoch, vavg)
+                if sample is not None and self.write_outputs:
+                    self._dump_gifs(epoch, *sample)
+
+            if self.ckpt is not None:
+                self.history["epoch"] = epoch
+                self.ckpt.save(int(jax.device_get(state.step)), state,
+                               config_json=cfg.to_json(),
+                               history=self.history)
+            self.logger.info("epoch %d took %s", epoch,
+                             datetime.now() - epoch_start)
+        return state
+
+    def _update_history(self, split: str, epoch: int, avg: Dict[str, float]):
+        hist = self.history.setdefault(split, {})
+        for k, v in avg.items():
+            hist.setdefault(k, []).append([epoch, float(v)])
+
+    def _dump_gifs(self, epoch: int, past, future, pred):
+        out = Path(self.cfg.ckpt_dir) / f"val_gifs_epoch{epoch}"
+        try:
+            pred_future = pred[:, -future.shape[1]:]
+            visualize_batch_clips(past, future, pred_future, str(out),
+                                  renorm=self.renorm, desc="pred_future")
+        except Exception as e:  # GIF failures must never kill training
+            self.logger.warning("gif dump failed: %s", e)

@@ -1,0 +1,100 @@
+"""Seeding, parameter counting, FLOPs estimation, timing."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def set_seed(seed: int) -> jax.Array:
+    """Seed numpy + return a JAX PRNG key (reference: utils/misc.py:8-34 seeds
+    random/numpy/torch; JAX randomness is explicit via the returned key)."""
+    np.random.seed(seed)
+    import random
+
+    random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def count_params(params: Any) -> int:
+    """Total parameter count (reference prints it at startup,
+    train_FAR.py:199-200)."""
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(params))
+
+
+def window_attention_flops(n_tokens: int, dim: int, num_heads: int) -> int:
+    """Analytic per-window FLOPs — parity with the reference's estimator
+    (reference: VidHRFormer_modules.py:362-373)."""
+    head_dim = dim // num_heads
+    flops = n_tokens * dim * 3 * dim             # qkv projections
+    flops += num_heads * n_tokens * head_dim * n_tokens  # q @ k^T
+    flops += num_heads * n_tokens * n_tokens * head_dim  # attn @ v
+    flops += n_tokens * dim * dim                # out projection
+    return flops
+
+
+def transformer_step_flops(batch: int, t: int, h: int, w: int, dim: int,
+                           num_heads: int, num_layers: int, window: int,
+                           ffn_ratio: int = 4, backward: bool = True) -> int:
+    """Rough per-step FLOPs of the FAR/NAR encoder stack, for MFU reporting."""
+    win2 = window * window
+    n_windows = (h // window) * (w // window) * batch * t
+    per_layer = n_windows * window_attention_flops(win2, dim, num_heads)
+    # temporal attention: batch*h*w sequences of length t
+    per_layer += batch * h * w * window_attention_flops(t, dim, num_heads)
+    # conv FFN (1x1 + dw3x3 + 1x1) + linear FFN
+    hidden = ffn_ratio * dim
+    per_layer += batch * t * h * w * (2 * dim * hidden + 9 * hidden)
+    per_layer += batch * t * h * w * 2 * dim * hidden
+    total = 2 * num_layers * per_layer          # x2: multiply-add
+    if backward:
+        total *= 3
+    return total
+
+
+class StepTimer:
+    """Wall-clock timing with warmup skip, for steps/sec + frames/sec."""
+
+    def __init__(self, skip: int = 2):
+        self.skip = skip
+        self.count = 0
+        self.start = None
+
+    def tick(self):
+        self.count += 1
+        if self.count == self.skip:
+            self.start = time.perf_counter()
+
+    @property
+    def steps_per_sec(self) -> float:
+        if self.start is None or self.count <= self.skip:
+            return 0.0
+        return (self.count - self.skip) / (time.perf_counter() - self.start)
+
+
+class AverageMeters:
+    """Running means per named loss for one epoch
+    (reference: utils/train_summary.py:41-91)."""
+
+    def __init__(self, names=None):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+        if names:
+            for n in names:
+                self.sums[n] = 0.0
+                self.counts[n] = 0
+
+    def update(self, values: Dict[str, Any]):
+        for k, v in values.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.counts[k] = self.counts.get(k, 0) + 1
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
+
+    def __getitem__(self, k: str) -> float:
+        return self.sums[k] / max(1, self.counts[k])

@@ -1,0 +1,110 @@
+"""Headline benchmark: MovingMNIST 10->10 FAR training throughput per chip.
+
+Measures the full stage-2 FAR training step at the reference geometry
+(train_FAR.py:154-197: 12 encoder layers, d_model 528, heads 8, window 4,
+batch 10, 64x64 frames -> 8x8x528 latents): frozen conv encode, transformer
+forward+backward, frozen decode, AdamW update — in bfloat16 on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": frames/sec/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6),
+so the baseline is an analytic model of the PyTorch reference on A100:
+step FLOPs from the same estimator, A100 bf16 peak 312 TFLOP/s at 40% MFU
+(a generous assumption for an eager per-frame torch loop with host-built
+masks). vs_baseline > 1 means this framework on one v5e chip beats that
+A100 estimate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=10,
+                        help="per-chip batch (reference: N=10, train_FAR.py:161)")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny config for CI/CPU smoke")
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args()
+
+    import jax
+
+    from vptr_tpu.config import get_preset
+    from vptr_tpu.train.trainer import Trainer
+    from vptr_tpu.utils.misc import transformer_step_flops
+
+    overrides = {"dtype": args.dtype,
+                 "data": {"batch_size": args.batch}}
+    if args.quick:
+        overrides.update({
+            "ae": {"feat_dim": 24, "n_res_blocks": 1},
+            "transformer": {"d_model": 24, "n_heads": 4,
+                            "num_encoder_layers": 2},
+        })
+    cfg = get_preset("far_mnist").override(overrides)
+    trainer = Trainer(cfg, write_outputs=False)
+    state = trainer.init_state()
+
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    past = rng.random((args.batch, d.num_past_frames, d.img_size,
+                       d.img_size, d.img_channels), np.float32)
+    future = rng.random((args.batch, d.num_future_frames, d.img_size,
+                         d.img_size, d.img_channels), np.float32)
+    batch = trainer.put_batch(past, future)
+
+    for _ in range(args.warmup):
+        state, metrics = trainer.train_step(state, *batch)
+    jax.block_until_ready(state.step)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = trainer.train_step(state, *batch)
+    jax.block_until_ready(state.step)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    # frames processed by the transformer per step (teacher forcing:
+    # Tp + Tf - 1 frames in, same count predicted)
+    frames_per_step = args.batch * (d.num_past_frames + d.num_future_frames - 1)
+    frames_per_sec = steps_per_sec * frames_per_step
+
+    t = cfg.transformer
+    flops = transformer_step_flops(
+        args.batch, d.num_past_frames + d.num_future_frames - 1,
+        t.enc_h, t.enc_w, t.d_model, t.n_heads, t.num_encoder_layers,
+        t.window_size, t.spatial_ffn_hidden_ratio, backward=True)
+    achieved_tflops = flops * steps_per_sec / 1e12
+
+    # analytic A100 baseline for the torch reference (see module docstring)
+    a100_frames_per_sec = (312e12 * 0.40) / (flops / frames_per_step)
+
+    diag = {"steps_per_sec": round(steps_per_sec, 3),
+            "transformer_tflops_per_step": round(flops / 1e12, 3),
+            "achieved_tflops": round(achieved_tflops, 2),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "batch": args.batch,
+            "losses": {k: float(v) for k, v in metrics.items()}}
+    print(json.dumps(diag), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "far_mnist_train_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(frames_per_sec / a100_frames_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,14 +37,14 @@ def test_mse_l1_with_weights_and_norm():
                torch.tensor(w)[None, :, None, None, None]).mean().item()
     got = float(mse_loss(jnp.asarray(gt), jnp.asarray(pred),
                          weights=jnp.asarray(w)))
-    assert abs(got - ref_mse) < 1e-6
+    assert abs(got - ref_mse) < 1e-5
 
     # L2-normalized along channel axis (BiPatchNCE pre-processing path,
     # reference: train_NAR.py:33-47 norm_dim usage)
     ref_l1 = torch.abs(F.normalize(tp, p=2, dim=2) -
                        F.normalize(tg, p=2, dim=2)).mean().item()
     got_l1 = float(l1_loss(jnp.asarray(gt), jnp.asarray(pred), norm_axis=2))
-    assert abs(got_l1 - ref_l1) < 1e-6
+    assert abs(got_l1 - ref_l1) < 1e-5
 
 
 def test_gdl_matches_torch_reference_computation():

@@ -167,7 +167,7 @@ class SyntheticMovingMNIST:
     like the canonical generator. Deterministic per (seed, index).
     """
 
-    GLYPHS = None  # lazily rendered 0-9 bitmaps
+    _GLYPH_CACHE = {}  # digit_size -> rendered 0-9 bitmaps
 
     def __init__(self, num_clips: int = 2048, num_past: int = 10,
                  num_future: int = 10, size: int = 64, digit_size: int = 20,
@@ -177,12 +177,14 @@ class SyntheticMovingMNIST:
         self.num_past = num_past
         self.num_future = num_future
         self.size = size
-        self.digit_size = digit_size
+        self.digit_size = min(digit_size, max(4, size // 2))
         self.num_digits = num_digits
         self.seed = seed
         self.transform = transform
-        if SyntheticMovingMNIST.GLYPHS is None:
-            SyntheticMovingMNIST.GLYPHS = self._render_glyphs(digit_size)
+        if self.digit_size not in self._GLYPH_CACHE:
+            self._GLYPH_CACHE[self.digit_size] = self._render_glyphs(
+                self.digit_size)
+        self.glyphs = self._GLYPH_CACHE[self.digit_size]
 
     @staticmethod
     def _render_glyphs(size: int) -> np.ndarray:
@@ -206,7 +208,7 @@ class SyntheticMovingMNIST:
         canvas = np.zeros((t_total, self.size, self.size, 1), np.float32)
         lim = self.size - self.digit_size
         for _ in range(self.num_digits):
-            glyph = self.GLYPHS[r.integers(10)]
+            glyph = self.glyphs[r.integers(10)]
             pos = r.uniform(0, lim, size=2)
             vel = r.uniform(2.0, 5.0, size=2) * r.choice([-1, 1], size=2)
             for t in range(t_total):

@@ -1,0 +1,114 @@
+"""Test-set evaluation harness: per-timestep metric curves over rollouts.
+
+The reference's ``pred_ave_metrics`` (utils/metrics.py:108-137 and the
+notebook-local LPIPS variant in Test_VPTR.ipynb) loops a test loader,
+rolls the model out, renormalizes, and averages each metric per future
+timestep. Here the rollout + metrics are one jitted function; the loop
+over batches stays on host.
+
+Rollout modes (reference: Test_VPTR.ipynb cells 5-11):
+* ``far``      — teacher-forced one-shot (validation-style)
+* ``far_rip``  — autoregressive, pixel-space recurrence (canonical)
+* ``far_ril``  — autoregressive, latent recurrence
+* ``nar``      — NAR block chaining
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vptr_tpu.eval.metrics import METRIC_FNS
+from vptr_tpu.eval.rollout import (
+    far_rollout_latent,
+    far_rollout_pixel,
+    nar_rollout,
+)
+
+ROLLOUT_MODES = ("far", "far_rip", "far_ril", "nar")
+
+
+def make_predict_fn(trainer, state, mode: str, num_pred: int):
+    """Build a jitted (past, future) -> pred_future_frames function."""
+    enc_vars = state.enc.variables()
+    dec_vars = state.dec.variables()
+    t_vars = state.transformer.variables()
+    enc_fn = partial(trainer.enc.apply, enc_vars, train=False)
+    dec_fn = partial(trainer.dec.apply, dec_vars, train=False)
+    tr_fn = partial(trainer.transformer.apply, t_vars, train=False)
+    tcfg = trainer.cfg.transformer
+    context = tcfg.num_past_frames + tcfg.num_future_frames
+
+    if mode == "far":
+        def predict(past, future):
+            x = jnp.concatenate([past, future[:, :-1]], axis=1)
+            pred = dec_fn(tr_fn(enc_fn(x)))
+            return pred[:, -future.shape[1]:]
+    elif mode == "far_rip":
+        def predict(past, future):
+            return far_rollout_pixel(enc_fn, dec_fn, tr_fn, past,
+                                     num_pred, context)
+    elif mode == "far_ril":
+        def predict(past, future):
+            return far_rollout_latent(enc_fn, dec_fn, tr_fn, past,
+                                      num_pred, context)
+    elif mode == "nar":
+        def predict(past, future):
+            return nar_rollout(enc_fn, dec_fn, tr_fn, past, num_pred,
+                               tcfg.num_future_frames)
+    else:
+        raise ValueError(f"unknown rollout mode {mode!r}; "
+                         f"choose from {ROLLOUT_MODES}")
+    return jax.jit(predict)
+
+
+def evaluate(trainer, state, loader, *, mode: str = "far",
+             num_pred: Optional[int] = None,
+             metrics=("psnr", "ssim", "mse"),
+             lpips_fn=None, max_batches: Optional[int] = None
+             ) -> Dict[str, np.ndarray]:
+    """Per-future-timestep metric curves averaged over a loader.
+
+    Returns {metric: (num_pred,) array}. Pixel metrics are computed on
+    renormalized frames; LPIPS on raw normalized frames with gray->RGB
+    repeat (both as the reference notebook does)."""
+    num_pred = num_pred or trainer.cfg.data.test_future_frames
+    predict = make_predict_fn(trainer, state, mode, num_pred)
+    renorm = trainer.renorm
+
+    @jax.jit
+    def batch_curves(pred, target):
+        out = {}
+        pr = jnp.clip(renorm(pred.astype(jnp.float32)), 0.0, 1.0)
+        tr_ = jnp.clip(renorm(target.astype(jnp.float32)), 0.0, 1.0)
+        for m in metrics:
+            fn = METRIC_FNS[m]
+            out[m] = jax.vmap(fn, in_axes=(1, 1))(pr, tr_)
+        return out
+
+    sums = {m: np.zeros(num_pred) for m in metrics}
+    if lpips_fn is not None:
+        sums["lpips"] = np.zeros(num_pred)
+    count = 0
+    for bi, (past, future) in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        past_d, future_d = trainer.put_batch(past, future)
+        pred = predict(past_d, future_d)
+        target = future_d[:, :num_pred]
+        pred = pred[:, :num_pred]
+        curves = jax.device_get(batch_curves(pred, target))
+        n = past.shape[0]
+        for m in metrics:
+            sums[m] += np.asarray(curves[m]) * n
+        if lpips_fn is not None:
+            lc = np.stack([np.mean(jax.device_get(
+                lpips_fn(pred[:, t], target[:, t])))
+                for t in range(num_pred)])
+            sums["lpips"] += lc * n
+        count += n
+    return {m: s / max(count, 1) for m, s in sums.items()}

@@ -68,12 +68,13 @@ class TorchConvTranspose(nn.Module):
                             (k, k, in_ch, self.features), jnp.float32)
         kernel = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
         lo, hi = k - 1 - p, k - 1 - p + op
+        # NOTE: no preferred_element_type here — conv_general_dilated's
+        # transpose rule would then feed f32 cotangents into a bf16 conv.
+        # The TPU MXU accumulates bf16 convs in f32 regardless.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel, window_strides=(1, 1),
             padding=((lo, hi), (lo, hi)), lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        y = y.astype(self.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

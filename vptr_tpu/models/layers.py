@@ -198,7 +198,8 @@ class TemporalAttention(nn.Module):
         n, t, h, w, c = x.shape
         # (N, T, H, W, C) -> (N, H*W, T, C): batch over columns, attend over T.
         def cols(y):
-            return y.transpose(0, 2, 3, 1, 4).reshape(n, h * w, y.shape[1], c)
+            yn, yt, yh, yw, yc = y.shape
+            return y.transpose(0, 2, 3, 1, 4).reshape(yn, yh * yw, yt, yc)
 
         q_in = cols(x) + pos_q[None, None, :, :].astype(x.dtype)
         if kv is None:

@@ -299,6 +299,10 @@ class VPTRFormerNAR(nn.Module):
                  deterministic: Optional[bool] = None):
         if deterministic is None:
             deterministic = not train
+        assert past_feats.shape[2:4] == (self.enc_h, self.enc_w), (
+            f"latent spatial {past_feats.shape[2:4]} != configured "
+            f"(enc_h, enc_w)=({self.enc_h}, {self.enc_w}) — the frame "
+            "queries are shape-bound to the latent geometry")
         n, tp = past_feats.shape[0], past_feats.shape[1]
         tf_ = self.num_future_frames
         t_max = self.num_past_frames + tf_

@@ -66,8 +66,8 @@ _TP_RULES = (
     (r".*linear1/kernel$", P(None, MODEL_AXIS)),
     (r".*linear1/bias$", P(MODEL_AXIS)),
     (r".*linear2/kernel$", P(MODEL_AXIS, None)),
-    (r".*ffn/fc1/kernel$", P(None, None, None, MODEL_AXIS)),
-    (r".*ffn/fc1/bias$", P(MODEL_AXIS)),
+    (r".*ffn2?/fc1/kernel$", P(None, None, None, MODEL_AXIS)),
+    (r".*ffn2?/fc1/bias$", P(MODEL_AXIS)),
     (r".*ffn2?/dw3x3/kernel$", P(None, None, None, MODEL_AXIS)),
     (r".*ffn2?/dw3x3/bias$", P(MODEL_AXIS)),
     (r".*ffn2?/fc2/kernel$", P(None, None, MODEL_AXIS, None)),
@@ -98,6 +98,35 @@ def tp_param_specs(params: Any) -> Any:
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def state_sharding(state_template: Any, mesh: Mesh,
+                   tensor_parallel: bool = True) -> Any:
+    """NamedSharding pytree for a full train state (params, optimizer
+    moments, batch stats, ...) from the TP rules. Optimizer moments mirror
+    the param tree structure, so path-suffix matching shards them
+    consistently with their parameters. Use with
+    ``jax.jit(init_fn, out_shardings=...)`` or ``jax.device_put``.
+    """
+
+    def spec_for(path, leaf):
+        ndim = getattr(leaf, "ndim", None)
+        if ndim is None:
+            return NamedSharding(mesh, P())
+        if tensor_parallel and mesh.shape.get(MODEL_AXIS, 1) > 1:
+            s = _path_str(path)
+            for pattern, spec in _TP_RULES:
+                if re.match(pattern, s) and len(spec) <= ndim:
+                    # only shard when the dimension divides evenly
+                    ok = all(
+                        ax is None or
+                        leaf.shape[i] % mesh.shape[MODEL_AXIS] == 0
+                        for i, ax in enumerate(spec))
+                    if ok:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, state_template)
 
 
 def shard_params(params: Any, mesh: Mesh,

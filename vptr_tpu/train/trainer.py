@@ -189,9 +189,13 @@ class Trainer:
         return out
 
     def put_batch(self, past: np.ndarray, future: np.ndarray):
-        past = jax.device_put(past.astype(np.float32), self.batch_sharding)
-        future = jax.device_put(future.astype(np.float32),
-                                self.batch_sharding)
+        # ragged batches (e.g. the last test batch, drop_last=False) cannot
+        # shard evenly over the data axis — replicate those instead
+        n_data = self.mesh.shape[DATA_AXIS]
+        sharding = (self.batch_sharding if past.shape[0] % n_data == 0
+                    else self.replicated)
+        past = jax.device_put(past.astype(np.float32), sharding)
+        future = jax.device_put(future.astype(np.float32), sharding)
         return (past.astype(self.dtype), future.astype(self.dtype))
 
     # ------------------------------------------------------------------

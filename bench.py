@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--quick", action="store_true",
                         help="tiny config for CI/CPU smoke")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the Pallas fused attention sublayers")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 
@@ -44,7 +46,8 @@ def main():
     from vptr_tpu.utils.misc import transformer_step_flops
 
     overrides = {"dtype": args.dtype,
-                 "data": {"batch_size": args.batch}}
+                 "data": {"batch_size": args.batch},
+                 "transformer": {"fused_attention": args.fused}}
     if args.quick:
         overrides.update({
             "ae": {"feat_dim": 24, "n_res_blocks": 1},
@@ -65,12 +68,15 @@ def main():
 
     for _ in range(args.warmup):
         state, metrics = trainer.train_step(state, *batch)
-    jax.block_until_ready(state.step)
+    # NOTE: block_until_ready does not actually synchronize on the axon
+    # relay platform — only a host fetch of a dependent value does. The
+    # fetched loss depends transitively on every step in the chain.
+    float(metrics["T_total"])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = trainer.train_step(state, *batch)
-    jax.block_until_ready(state.step)
+    float(metrics["T_total"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt

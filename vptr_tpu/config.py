@@ -41,6 +41,8 @@ class AutoencoderConfig:
     norm: str = "batch"                 # batch | group | layer (batch = reference parity)
     out_layer: str = "sigmoid"          # sigmoid (MNIST) | tanh (KTH/BAIR); train_FAR.py:180
     use_dropout: bool = False
+    init_type: str = "normal"           # normal | xavier | kaiming | orthogonal
+                                        # (reference: ResNetAutoEncoder.py:160-189)
 
 
 @dataclass(frozen=True)
@@ -51,6 +53,7 @@ class DiscriminatorConfig:
     ndf: int = 64
     n_layers: int = 3
     norm: str = "batch"
+    init_type: str = "normal"
 
 
 @dataclass(frozen=True)
@@ -72,6 +75,7 @@ class TransformerConfig:
     drop_path: float = 0.1              # reference ties drop_path = dropout (VPTR_modules.py:114)
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA
+    fused_attention: bool = False       # Pallas fused attention sublayers
     conv_ffn_norm: str = "auto"         # auto: layer for FAR/NAR-dec, batch for NAR-enc
                                         # (reference: VidHRFormer_modules.py:40-43,390)
 
@@ -139,6 +143,8 @@ class ExperimentConfig:
     resume: bool = True
     ae_ckpt: Optional[str] = None       # stage-2: path of the stage-1 AE checkpoint
     log_every: int = 50
+    profile_dir: Optional[str] = None   # jax.profiler trace output (epoch 1)
+    profile_steps: int = 5
     dtype: str = "bfloat16"             # compute dtype; params always float32
     ae: AutoencoderConfig = field(default_factory=AutoencoderConfig)
     disc: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
@@ -203,6 +209,27 @@ _register("ae_mnist", ExperimentConfig(
     optim=OptimConfig(optimizer="adam", lr=2e-4, b1=0.5, b2=0.999,
                       weight_decay=0.0, max_grad_norm=None),
     data=_mnist_data(32),
+    loss=LossConfig(lam_gan=0.01, gan_mode="vanilla"),
+))
+
+# 1b) Stage-1 AE on KTH / BAIR (train_AutoEncoder recipe, other datasets)
+_register("ae_kth", ExperimentConfig(
+    name="ae_kth", stage="ae", epochs=50,
+    ae=AutoencoderConfig(img_channels=1, out_layer="tanh"),
+    disc=DiscriminatorConfig(img_channels=1),
+    optim=OptimConfig(optimizer="adam", lr=2e-4, b1=0.5, b2=0.999,
+                      weight_decay=0.0, max_grad_norm=None),
+    data=_kth_data(32),
+    loss=LossConfig(lam_gan=0.01, gan_mode="vanilla"),
+))
+
+_register("ae_bair", ExperimentConfig(
+    name="ae_bair", stage="ae", epochs=50,
+    ae=AutoencoderConfig(img_channels=3, out_layer="tanh"),
+    disc=DiscriminatorConfig(img_channels=3),
+    optim=OptimConfig(optimizer="adam", lr=2e-4, b1=0.5, b2=0.999,
+                      weight_decay=0.0, max_grad_norm=None),
+    data=_bair_data(32),
     loss=LossConfig(lam_gan=0.01, gan_mode="vanilla"),
 ))
 

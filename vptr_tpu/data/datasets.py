@@ -171,12 +171,13 @@ class SyntheticMovingMNIST:
 
     def __init__(self, num_clips: int = 2048, num_past: int = 10,
                  num_future: int = 10, size: int = 64, digit_size: int = 20,
-                 num_digits: int = 2, seed: int = 0,
+                 num_digits: int = 2, seed: int = 0, channels: int = 1,
                  transform: Optional[ClipTransform] = None):
         self.num_clips = num_clips
         self.num_past = num_past
         self.num_future = num_future
         self.size = size
+        self.channels = channels
         self.digit_size = min(digit_size, max(4, size // 2))
         self.num_digits = num_digits
         self.seed = seed
@@ -205,17 +206,20 @@ class SyntheticMovingMNIST:
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
         r = np.random.default_rng((self.seed, index))
         t_total = self.num_past + self.num_future
-        canvas = np.zeros((t_total, self.size, self.size, 1), np.float32)
+        canvas = np.zeros((t_total, self.size, self.size, self.channels),
+                          np.float32)
         lim = self.size - self.digit_size
         for _ in range(self.num_digits):
             glyph = self.glyphs[r.integers(10)]
+            tint = (r.uniform(0.5, 1.0, size=self.channels)
+                    if self.channels > 1 else np.ones(1))
             pos = r.uniform(0, lim, size=2)
             vel = r.uniform(2.0, 5.0, size=2) * r.choice([-1, 1], size=2)
             for t in range(t_total):
                 y, x = int(round(pos[0])), int(round(pos[1]))
                 region = canvas[t, y:y + self.digit_size,
-                                x:x + self.digit_size, 0]
-                np.maximum(region, glyph, out=region)
+                                x:x + self.digit_size, :]
+                np.maximum(region, glyph[:, :, None] * tint, out=region)
                 pos += vel
                 for k in range(2):  # bounce
                     if pos[k] < 0:

@@ -132,15 +132,20 @@ def build_dataset(cfg, *, split: str = "train", seed: int = 0):
 
     train = split == "train"
     name = cfg.dataset.lower()
-    if name in ("synthetic", "mnist") and (
-            name == "synthetic" or not cfg.data_dir or
-            not Path(cfg.data_dir).exists()):
+    if name == "synthetic" or not cfg.data_dir or \
+            not Path(cfg.data_dir).exists():
+        # no data on disk -> deterministic synthetic stand-in matching the
+        # requested geometry (any dataset name)
         tf = ClipTransform(mean=cfg.mean, std=cfg.std,
                            flips=train and cfg.random_flip)
         num_clips = {"train": 4096, "val": 256, "test": 256}[split]
+        num_past = (cfg.num_past_frames if split != "test"
+                    else cfg.test_past_frames)
+        num_future = (cfg.num_future_frames if split != "test"
+                      else cfg.test_future_frames)
         return SyntheticMovingMNIST(
-            num_clips=num_clips, num_past=cfg.num_past_frames,
-            num_future=cfg.num_future_frames, size=cfg.img_size,
+            num_clips=num_clips, num_past=num_past, num_future=num_future,
+            size=cfg.img_size, channels=cfg.img_channels,
             seed={"train": 0, "val": 1, "test": 2}[split] + 10 * seed,
             transform=tf)
 

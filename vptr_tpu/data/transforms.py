@@ -38,6 +38,20 @@ def resize(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return out
 
 
+def crop(clip: np.ndarray, top: int, left: int,
+         height: int, width: int) -> np.ndarray:
+    """Fixed-position crop (reference: VidCrop, utils/dataset.py:382-391)."""
+    return clip[:, top:top + height, left:left + width, :]
+
+
+def pad(clip: np.ndarray, padding: int, fill: float = 0.0) -> np.ndarray:
+    """Symmetric spatial pad (reference: VidPad, utils/dataset.py:468-480;
+    upstream notes a mask must accompany padded inputs — the shipped configs
+    never pad, so none is wired here either)."""
+    cfg = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return np.pad(clip, cfg, constant_values=fill)
+
+
 def random_flip(clip: np.ndarray, rng: np.random.Generator,
                 p_horizontal: float = 0.5,
                 p_vertical: float = 0.5) -> np.ndarray:

@@ -30,6 +30,24 @@ Dtype = Any
 normal_002 = nn.initializers.normal(stddev=0.02)
 
 
+def make_conv_init(init_type: str = "normal", gain: float = 0.02):
+    """Conv/linear weight init selector — parity with the reference's
+    ``init_weights`` (reference: ResNetAutoEncoder.py:160-189):
+    normal | xavier | kaiming | orthogonal."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=gain)
+    if init_type == "xavier":
+        # torch xavier_normal_(gain=g): std = g * sqrt(2/(fan_in+fan_out))
+        return nn.initializers.variance_scaling(
+            gain * gain * 2.0, "fan_avg", "normal")
+    if init_type == "kaiming":
+        # torch kaiming_normal_(a=0, fan_in): std = sqrt(2/fan_in)
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=gain)
+    raise ValueError(f"unknown init type {init_type!r}")
+
+
 def _pad2d(x: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
     """Spatial padding on (N, H, W, C). mode: reflect | replicate | zero."""
     if pad == 0:
@@ -116,11 +134,13 @@ class ResnetBlock(nn.Module):
     padding_type: str = "reflect"
     norm: str = "batch"
     use_dropout: bool = False
+    init_type: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, deterministic: bool = True):
         use_bias = self.norm == "instance"
+        normal_002 = make_conv_init(self.init_type)
         y = _pad2d(x, 1, self.padding_type)
         y = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=use_bias,
                     kernel_init=normal_002, dtype=self.dtype, name="conv1")(y)
@@ -145,11 +165,13 @@ class ResnetEncoder(nn.Module):
     padding_type: str = "reflect"
     norm: str = "batch"
     use_dropout: bool = False
+    init_type: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, deterministic: bool = True):
         use_bias = self.norm == "instance"
+        normal_002 = make_conv_init(self.init_type)
         y = _pad2d(x, 3, self.padding_type)
         y = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=use_bias,
                     kernel_init=normal_002, dtype=self.dtype, name="stem")(y)
@@ -166,7 +188,8 @@ class ResnetEncoder(nn.Module):
         y = _NormAct(self.norm, self.dtype, name="down_last_na")(y, train=train)
         for i in range(self.n_res_blocks):
             y = ResnetBlock(self.feat_dim, self.padding_type, self.norm,
-                            self.use_dropout, self.dtype, name=f"res{i}")(
+                            self.use_dropout, self.init_type, self.dtype,
+                            name=f"res{i}")(
                 y, train=train, deterministic=deterministic)
         return nn.relu(y)
 
@@ -181,17 +204,20 @@ class ResnetDecoder(nn.Module):
     padding_type: str = "reflect"
     norm: str = "batch"
     out_layer: str = "tanh"
+    init_type: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         use_bias = self.norm == "instance"
+        normal_002 = make_conv_init(self.init_type)
         y = x
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             ch = int(self.ngf * mult / 2)
             y = TorchConvTranspose(ch, 3, 2, 1, 1, use_bias=use_bias,
-                                   dtype=self.dtype, name=f"up{i}")(y)
+                                   dtype=self.dtype, kernel_init=normal_002,
+                                   name=f"up{i}")(y)
             y = _NormAct(self.norm, self.dtype, name=f"up{i}_na")(y, train=train)
         y = _pad2d(y, 3, self.padding_type)
         y = nn.Conv(self.img_channels, (7, 7), padding="VALID", use_bias=True,
@@ -212,6 +238,7 @@ class VPTREnc(nn.Module):
     n_downsampling: int = 3
     padding_type: str = "reflect"
     norm: str = "batch"
+    init_type: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,7 +248,8 @@ class VPTREnc(nn.Module):
         y = ResnetEncoder(feat_dim=self.feat_dim,
                           n_downsampling=self.n_downsampling,
                           padding_type=self.padding_type, norm=self.norm,
-                          dtype=self.dtype, name="encoder")(y, train=train)
+                          init_type=self.init_type, dtype=self.dtype,
+                          name="encoder")(y, train=train)
         return y.reshape((n, t) + y.shape[1:])
 
 
@@ -234,6 +262,7 @@ class VPTRDec(nn.Module):
     out_layer: str = "tanh"
     padding_type: str = "reflect"
     norm: str = "batch"
+    init_type: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -243,7 +272,8 @@ class VPTRDec(nn.Module):
         y = ResnetDecoder(img_channels=self.img_channels,
                           n_downsampling=self.n_downsampling,
                           padding_type=self.padding_type, norm=self.norm,
-                          out_layer=self.out_layer, dtype=self.dtype,
+                          out_layer=self.out_layer,
+                          init_type=self.init_type, dtype=self.dtype,
                           name="decoder")(y, train=train)
         return y.reshape((n, t) + y.shape[1:])
 
@@ -252,9 +282,10 @@ def build_autoencoder(cfg, dtype=jnp.float32):
     """Construct (VPTREnc, VPTRDec) from an AutoencoderConfig."""
     enc = VPTREnc(img_channels=cfg.img_channels, feat_dim=cfg.feat_dim,
                   n_downsampling=cfg.n_downsampling,
-                  padding_type=cfg.padding_type, norm=cfg.norm, dtype=dtype)
+                  padding_type=cfg.padding_type, norm=cfg.norm,
+                  init_type=cfg.init_type, dtype=dtype)
     dec = VPTRDec(img_channels=cfg.img_channels,
                   n_downsampling=cfg.n_downsampling,
                   out_layer=cfg.out_layer, padding_type=cfg.padding_type,
-                  norm=cfg.norm, dtype=dtype)
+                  norm=cfg.norm, init_type=cfg.init_type, dtype=dtype)
     return enc, dec

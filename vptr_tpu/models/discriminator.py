@@ -11,8 +11,9 @@ from typing import Any
 
 from flax import linen as nn
 
+from vptr_tpu.models.autoencoder import make_conv_init
+
 Dtype = Any
-normal_002 = nn.initializers.normal(stddev=0.02)
 
 
 class PatchDiscriminator(nn.Module):
@@ -21,11 +22,13 @@ class PatchDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     norm: str = "batch"
+    init_type: str = "normal"
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         use_bias = self.norm == "instance"
+        normal_002 = make_conv_init(self.init_type)
         lrelu = lambda z: nn.leaky_relu(z, negative_slope=0.2)
 
         def norm_layer(z, name):
@@ -64,4 +67,5 @@ class PatchDiscriminator(nn.Module):
 
 def build_discriminator(cfg, dtype=None):
     return PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers,
-                              norm=cfg.norm, dtype=dtype)
+                              norm=cfg.norm, init_type=cfg.init_type,
+                              dtype=dtype)

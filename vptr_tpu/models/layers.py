@@ -80,11 +80,33 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
+class _DenseParams(nn.Module):
+    """Raw (kernel, bias) with nn.Dense-compatible naming/shapes — lets the
+    fused Pallas path and the XLA Dense path share one parameter tree."""
+
+    features: int
+    in_features: int
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Generic MHA with separate q/k/v/out projections.
 
     Operates on (..., L, C) with arbitrary leading batch dims. Optional
     additive ``bias`` of shape (heads, Lq, Lk) and boolean ``mask`` (Lq, Lk).
+
+    ``fused=True`` routes eligible self-attention calls (q_in is k_in, no
+    attention dropout active) through the Pallas fused kernel
+    (vptr_tpu.ops.fused_window_attention); all other calls fall back to the
+    XLA path. Both paths share the same parameters.
     """
 
     dim: int
@@ -92,12 +114,45 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier_uniform
+    fused: bool = False
+    fused_block: int = 64
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None,
                  deterministic: bool = True):
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
+
+        use_fused = (self.fused and q_in is k_in and
+                     q_in.shape == v_in.shape and
+                     (self.dropout == 0.0 or deterministic))
+        if use_fused:
+            from vptr_tpu.ops.fused_window_attention import fused_attention
+
+            in_dim = q_in.shape[-1]
+            mk = lambda name: _DenseParams(self.dim, in_dim,
+                                           self.kernel_init, name=name)()
+            wq, bq = mk("q_proj")
+            wk, bk = mk("k_proj")
+            wv, bv = mk("v_proj")
+            wo, bo = mk("out_proj")
+            lead = q_in.shape[:-2]
+            length = q_in.shape[-2]
+            xqk = q_in.reshape((-1, length, in_dim))
+            xv = v_in.reshape((-1, length, in_dim))
+            full_bias = bias
+            if mask is not None:
+                mbias = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
+                mbias = mbias[None]  # (1, L, L)
+                full_bias = mbias if full_bias is None else full_bias + mbias
+            cast = lambda a: a.astype(self.dtype)
+            out = fused_attention(
+                cast(xqk), cast(xv), cast(wq), cast(bq), cast(wk), cast(bk),
+                cast(wv), cast(bv), cast(wo), cast(bo), full_bias,
+                self.num_heads, self.fused_block,
+                jax.default_backend() != "tpu")
+            return out.reshape(lead + (length, self.dim))
+
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
                                       kernel_init=self.kernel_init,
                                       bias_init=nn.initializers.zeros,
@@ -137,6 +192,7 @@ class WindowAttention(nn.Module):
     window: int = 4
     dropout: float = 0.0
     rpe: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +225,8 @@ class WindowAttention(nn.Module):
             vw, _, _ = to_windows(value)
 
         out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                 dtype=self.dtype, name="attn")(
+                                 dtype=self.dtype, fused=self.fused,
+                                 name="attn")(
             qk_in, qk_in, vw, bias=bias, deterministic=deterministic)
         out = window_reverse(out, self.window, padded_hw)
         out = unpad_from_window(out, (h, w), offs)
@@ -190,6 +247,7 @@ class TemporalAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     causal: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,7 +273,8 @@ class TemporalAttention(nn.Module):
             mask = jnp.asarray(mask)
 
         out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                 dtype=self.dtype, name="attn")(
+                                 dtype=self.dtype, fused=self.fused,
+                                 name="attn")(
             q_in, k_in, v_in, mask=mask, deterministic=deterministic)
         return out.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
 

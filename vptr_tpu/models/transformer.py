@@ -55,6 +55,7 @@ class EncoderBlock(nn.Module):
     dim_feedforward: int = 2112
     far: bool = False                  # causal temporal mask + LayerNorm conv-FFN
     rpe: bool = False
+    fused_attention: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
     dtype: Dtype = jnp.float32
 
@@ -68,7 +69,8 @@ class EncoderBlock(nn.Module):
 
         # 1) local-window spatial self-attention
         y = WindowAttention(self.dim, self.num_heads, self.window,
-                            self.dropout, rpe=self.rpe, dtype=self.dtype,
+                            self.dropout, rpe=self.rpe,
+                            fused=self.fused_attention, dtype=self.dtype,
                             name="slmhsa")(
             ln("norm1")(x), pos2d, deterministic=deterministic)
         x = x + dp(y, deterministic=deterministic)
@@ -82,8 +84,8 @@ class EncoderBlock(nn.Module):
 
         # 3) temporal attention per spatial location
         y = TemporalAttention(self.dim, self.num_heads, self.dropout,
-                              causal=self.far, dtype=self.dtype,
-                              name="temporal")(
+                              causal=self.far, fused=self.fused_attention,
+                              dtype=self.dtype, name="temporal")(
             ln("norm3")(x), pos_t, deterministic=deterministic)
         x = x + drop(y)
 
@@ -106,6 +108,7 @@ class DecoderBlockNAR(nn.Module):
     dim_feedforward: int = 2112
     tslma: bool = False
     rpe: bool = False
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +123,8 @@ class DecoderBlockNAR(nn.Module):
         #    (reference: VidHRFormer_modules.py:176-178)
         t2 = ln("norm1")(tgt)
         y = WindowAttention(self.dim, self.num_heads, self.window,
-                            self.dropout, rpe=self.rpe, dtype=self.dtype,
+                            self.dropout, rpe=self.rpe,
+                            fused=self.fused_attention, dtype=self.dtype,
                             name="slmhsa")(
             t2 + query_pos, pos2d, value=t2, deterministic=deterministic)
         tgt = tgt + dp(y, deterministic=deterministic)
@@ -135,7 +139,8 @@ class DecoderBlockNAR(nn.Module):
 
         # 3) temporal self-attention over the Tf query frames
         y = TemporalAttention(self.dim, self.num_heads, self.dropout,
-                              dtype=self.dtype, name="temporal")(
+                              fused=self.fused_attention, dtype=self.dtype,
+                              name="temporal")(
             ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
         tgt = tgt + drop(y)
 
@@ -217,6 +222,7 @@ class VPTRFormerFAR(nn.Module):
     drop_path: float = 0.1
     ffn_hidden_ratio: int = 4
     rpe: bool = False
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -236,8 +242,9 @@ class VPTRFormerFAR(nn.Module):
                              self.dropout, self.drop_path,
                              self.ffn_hidden_ratio,
                              self.ffn_hidden_ratio * self.d_model,
-                             far=True, rpe=self.rpe, dtype=self.dtype,
-                             name=f"block{i}")(
+                             far=True, rpe=self.rpe,
+                             fused_attention=self.fused_attention,
+                             dtype=self.dtype, name=f"block{i}")(
                 x, pos2d, pos_t, train=train, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
         return nn.relu(x)
@@ -264,6 +271,7 @@ class VPTRFormerNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     tslma: bool = False
     rpe: bool = True
+    fused_attention: bool = False
     conv_ffn_norm_enc: Optional[str] = None   # None -> batch (reference parity)
     dtype: Dtype = jnp.float32
 
@@ -273,7 +281,9 @@ class VPTRFormerNAR(nn.Module):
                           drop_path=self.drop_path,
                           ffn_hidden_ratio=self.ffn_hidden_ratio,
                           dim_feedforward=self.ffn_hidden_ratio * self.d_model,
-                          rpe=self.rpe, dtype=self.dtype)
+                          rpe=self.rpe,
+                          fused_attention=self.fused_attention,
+                          dtype=self.dtype)
         self.enc_blocks = [
             EncoderBlock(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
                          name=f"enc_block{i}", **block_args)
@@ -355,7 +365,8 @@ def build_transformer(cfg, dtype=jnp.float32):
                   num_heads=cfg.n_heads, window=cfg.window_size,
                   dropout=cfg.dropout, drop_path=cfg.drop_path,
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
-                  rpe=cfg.rpe, dtype=dtype)
+                  rpe=cfg.rpe, fused_attention=cfg.fused_attention,
+                  dtype=dtype)
     if cfg.variant == "far":
         return VPTRFormerFAR(num_encoder_layers=cfg.num_encoder_layers,
                              **common)

@@ -64,17 +64,25 @@ class Trainer:
         self.renorm = ReNormalize(cfg.data.mean, cfg.data.std)
         self._build_models()
         self._build_steps()
+        # Observability (logs/TB/GIFs) is rank-0-only, like the reference's
+        # DDP drivers (reference: train_FAR_mp.py:247-274 gate on rank == 0).
+        # Checkpointing stays on ALL processes — orbax multihost saves are
+        # collective.
+        is_host0 = jax.process_index() == 0
         if write_outputs:
-            self.logger = setup_logging(cfg.ckpt_dir)
-            self.writer = SummaryWriter(str(Path(cfg.ckpt_dir) / "tb"))
             self.ckpt = CheckpointManager(str(Path(cfg.ckpt_dir) / "ckpt"),
                                           keep=cfg.ckpt_keep)
+        else:
+            self.ckpt = None
+        if write_outputs and is_host0:
+            self.logger = setup_logging(cfg.ckpt_dir)
+            self.writer = SummaryWriter(str(Path(cfg.ckpt_dir) / "tb"))
         else:
             import logging
 
             self.logger = logging.getLogger("vptr_tpu.silent")
             self.writer = None
-            self.ckpt = None
+        self.write_outputs = write_outputs and is_host0
         self.history: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
@@ -221,6 +229,7 @@ class Trainer:
                                     num_hosts=jax.process_count())
         val_loader = build_loader(cfg.data, split="val", seed=cfg.seed)
 
+        profiling = False
         for epoch in range(start_epoch + 1, start_epoch + epochs + 1):
             epoch_start = datetime.now()
             meters = AverageMeters()
@@ -229,11 +238,26 @@ class Trainer:
                 if (cfg.steps_per_epoch is not None
                         and bi >= cfg.steps_per_epoch):
                     break
+                if cfg.profile_dir and epoch == start_epoch + 1:
+                    # trace a few steady-state steps (jax.profiler; the
+                    # reference only logs wall clock, train_FAR.py:218)
+                    if bi == 2 and not profiling:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        profiling = True
+                    elif profiling and bi == 2 + cfg.profile_steps:
+                        jax.block_until_ready(state.step)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        self.logger.info("profiler trace written to %s",
+                                         cfg.profile_dir)
                 state, metrics = self.train_step(
                     state, *self.put_batch(past, future))
                 meters.update(jax.device_get(metrics))
                 n_steps += 1
             jax.block_until_ready(state.step)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
             dt = time.perf_counter() - t0
 
             avg = meters.averages()

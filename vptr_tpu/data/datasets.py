@@ -231,3 +231,29 @@ class SyntheticMovingMNIST:
         if self.transform is not None:
             canvas = self.transform(canvas, rng)
         return canvas[:self.num_past], canvas[-self.num_future:]
+
+    def get_batch(self, indices, rng: Optional[np.random.Generator] = None):
+        """Batch fast-path via the native renderer (native/clipgen.cpp);
+        returns None to signal fallback to per-index ``get``.
+
+        Native and Python generators draw different (both deterministic)
+        trajectories — do not mix paths within one experiment.
+        """
+        from vptr_tpu.data.native import normalize_f32, render_clips
+
+        t_total = self.num_past + self.num_future
+        clips = render_clips(self.glyphs, self.seed,
+                             np.asarray(indices, np.int64), t_total,
+                             self.size, self.channels, self.num_digits)
+        if clips is None:
+            return None
+        tf_ = self.transform
+        if tf_ is not None:
+            if tf_.flips and rng is not None:
+                from vptr_tpu.data.transforms import random_flip
+
+                for i in range(clips.shape[0]):
+                    clips[i] = random_flip(clips[i], rng)
+            out = normalize_f32(clips, tf_.normalize.mean, tf_.normalize.std)
+            clips = out if out is not None else tf_.normalize(clips)
+        return clips[:, :self.num_past], clips[:, -self.num_future:]

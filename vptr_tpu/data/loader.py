@@ -64,6 +64,10 @@ class ClipLoader:
 
     def _make_batch(self, indices: np.ndarray,
                     rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        if hasattr(self.dataset, "get_batch"):
+            batch = self.dataset.get_batch(indices, rng)
+            if batch is not None:
+                return batch
         pasts, futures = [], []
         for i in indices:
             p, f = self.dataset.get(int(i), rng)

@@ -135,6 +135,7 @@ class ExperimentConfig:
     name: str = "experiment"
     stage: str = "ae"                   # ae | far | nar
     seed: int = 2021
+    rng_impl: str = "rbg"               # rbg (fast on TPU) | threefry2x32
     epochs: int = 100
     steps_per_epoch: Optional[int] = None   # None: one pass over the dataset
     val_per_epochs: int = 4

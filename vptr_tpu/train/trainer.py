@@ -127,7 +127,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None):
         cfg = self.cfg
-        rng = rng if rng is not None else set_seed(cfg.seed)
+        rng = rng if rng is not None else set_seed(cfg.seed, cfg.rng_impl)
         d = cfg.data
         rngs = jax.random.split(rng, 8)
         past = jnp.zeros((2, d.num_past_frames, d.img_size, d.img_size,
@@ -262,6 +262,20 @@ class Trainer:
 
             avg = meters.averages()
             avg["steps_per_sec"] = n_steps / max(dt, 1e-9)
+            if cfg.stage in ("far", "nar"):
+                # rough model FLOPs utilization for the transformer stack
+                from vptr_tpu.utils.misc import transformer_step_flops
+
+                t = cfg.transformer
+                seq_t = (cfg.data.num_past_frames +
+                         cfg.data.num_future_frames - 1
+                         if cfg.stage == "far" else cfg.data.num_past_frames)
+                flops = transformer_step_flops(
+                    cfg.data.batch_size, seq_t, t.enc_h, t.enc_w, t.d_model,
+                    t.n_heads, t.num_encoder_layers, t.window_size,
+                    t.spatial_ffn_hidden_ratio)
+                avg["transformer_tflops_per_sec"] = (
+                    flops * avg["steps_per_sec"] / 1e12)
             if self.writer is not None:
                 self.writer.write_scalars(epoch, avg, prefix="train/")
             self.logger.info("epoch %d train: %s", epoch,

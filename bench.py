@@ -47,7 +47,10 @@ def main():
 
     overrides = {"dtype": args.dtype,
                  "data": {"batch_size": args.batch},
-                 "transformer": {"fused_attention": args.fused}}
+                 # fused path requires inactive attention-weight dropout
+                 "transformer": {"fused_attention": args.fused,
+                                 "attention_dropout":
+                                     0.0 if args.fused else None}}
     if args.quick:
         overrides.update({
             "ae": {"feat_dim": 24, "n_res_blocks": 1},

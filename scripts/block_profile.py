@@ -1,0 +1,83 @@
+"""Per-sublayer timing of one VidHRFormer encoder block on the TPU.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/block_profile.py [--fused]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vptr_tpu.models.layers import (
+    LayerNormHWC,
+    Mlp,
+    MlpDWBN,
+    TemporalAttention,
+    WindowAttention,
+)
+from vptr_tpu.models.position import position_embedding_1d, position_embedding_2d
+from vptr_tpu.models.transformer import EncoderBlock
+
+
+def bench(name, fn, variables, *args, n=20):
+    out = fn(variables, *args)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(variables, *args)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    print(f"{name:24s}: {(time.perf_counter()-t0)/n*1000:.2f} ms")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fused", action="store_true")
+    args = parser.parse_args()
+
+    dtype = jnp.bfloat16
+    d, heads, window = 528, 8, 4
+    x = jnp.asarray(np.random.rand(10, 19, 8, 8, d), dtype)
+    pos2d = position_embedding_2d(window, window, d)
+    pos_t = position_embedding_1d(19, d)
+    rng = jax.random.PRNGKey(0)
+
+    block = EncoderBlock(d, heads, window, 0.0, 0.0, 4, 4 * d, far=True,
+                         fused_attention=args.fused, dtype=dtype)
+    bv = block.init(rng, x, pos2d, pos_t)
+    bench("EncoderBlock fwd", jax.jit(
+        lambda v, x: block.apply(v, x, pos2d, pos_t)), bv, x)
+
+    wa = WindowAttention(d, heads, window, 0.0, fused=args.fused, dtype=dtype)
+    wv = wa.init(rng, x, pos2d)
+    bench("WindowAttention", jax.jit(
+        lambda v, x: wa.apply(v, x, pos2d)), wv, x)
+
+    ta = TemporalAttention(d, heads, 0.0, causal=True, fused=args.fused,
+                           dtype=dtype)
+    tv = ta.init(rng, x, pos_t)
+    bench("TemporalAttention", jax.jit(
+        lambda v, x: ta.apply(v, x, pos_t)), tv, x)
+
+    for norm in ("layer", "batch"):
+        m = MlpDWBN(d, 4 * d, norm=norm, dtype=dtype)
+        mv = m.init(rng, x, train=(norm == "batch"))
+        bench(f"MlpDWBN({norm})", jax.jit(
+            lambda v, x, m=m: m.apply(v, x)), mv, x)
+
+    mlp = Mlp(d, 4 * d, dtype=dtype)
+    lv = mlp.init(rng, x)
+    bench("Mlp (linear FFN)", jax.jit(lambda v, x: mlp.apply(v, x)), lv, x)
+
+    ln = LayerNormHWC(dtype=dtype)
+    h = jnp.asarray(np.random.rand(190, 8, 8, 4 * d), dtype)
+    lnv = ln.init(rng, h)
+    bench("LayerNormHWC(hidden)", jax.jit(lambda v, h: ln.apply(v, h)),
+          lnv, h)
+
+
+if __name__ == "__main__":
+    main()

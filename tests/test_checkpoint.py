@@ -1,0 +1,80 @@
+"""Checkpoint round-trips: resume, and the stage-1 -> stage-2 AE handoff."""
+
+import numpy as np
+
+from vptr_tpu.config import get_preset
+from vptr_tpu.train.checkpoint import CheckpointManager, load_ae_modules
+from vptr_tpu.train.trainer import Trainer
+
+TINY_AE = {
+    "dtype": "float32",
+    "loss": {"lam_gan": None},
+    "ae": {"feat_dim": 24, "n_res_blocks": 1},
+    "data": {"batch_size": 4, "img_size": 32,
+             "num_past_frames": 2, "num_future_frames": 2},
+}
+
+
+def _leaves_equal(a, b):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = get_preset("ae_mnist").override(TINY_AE)
+    tr = Trainer(cfg, write_outputs=False)
+    state = tr.init_state()
+    rng = np.random.default_rng(0)
+    batch = tr.put_batch(rng.random((4, 2, 32, 32, 1)).astype(np.float32),
+                         rng.random((4, 2, 32, 32, 1)).astype(np.float32))
+    state, _ = tr.train_step(state, *batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, config_json=cfg.to_json(), history={"epoch": 1})
+    restored = mgr.restore(tr.init_state())
+    assert _leaves_equal(restored.enc.params, state.enc.params)
+    assert _leaves_equal(restored.g_opt, state.g_opt)
+    assert mgr.load_history()["epoch"] == 1
+    mgr.close()
+
+
+def test_stage1_to_stage2_handoff(tmp_path):
+    """Stage 2 must load the frozen stage-1 AE weights
+    (reference: train_FAR.py:210)."""
+    ae_cfg = get_preset("ae_mnist").override(TINY_AE)
+    ae_tr = Trainer(ae_cfg, write_outputs=False)
+    ae_state = ae_tr.init_state()
+    rng = np.random.default_rng(1)
+    batch = ae_tr.put_batch(
+        rng.random((4, 2, 32, 32, 1)).astype(np.float32),
+        rng.random((4, 2, 32, 32, 1)).astype(np.float32))
+    ae_state, _ = ae_tr.train_step(ae_state, *batch)
+
+    ckpt_dir = str(tmp_path / "ae_ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    # config.json is required for the cross-stage template rebuild
+    mgr.save(1, ae_state, config_json=ae_cfg.to_json())
+    mgr.close()
+
+    enc_state, dec_state = load_ae_modules(ckpt_dir)
+    assert _leaves_equal(enc_state.params, ae_state.enc.params)
+
+    far_cfg = get_preset("far_mnist").override({
+        **TINY_AE,
+        "ae_ckpt": ckpt_dir,
+        "transformer": {"d_model": 24, "n_heads": 4, "num_encoder_layers": 1,
+                        "enc_h": 4, "enc_w": 4, "num_past_frames": 2,
+                        "num_future_frames": 2},
+        "loss": {"lam_gan": None},
+    })
+    far_tr = Trainer(far_cfg, write_outputs=False)
+    far_state = far_tr.init_state()
+    assert _leaves_equal(far_state.enc.params, ae_state.enc.params)
+    assert _leaves_equal(far_state.dec.params, ae_state.dec.params)
+    # and the loaded AE actually trains stage 2
+    far_state, metrics = far_tr.train_step(far_state, *batch)
+    assert np.isfinite(float(metrics["T_total"]))

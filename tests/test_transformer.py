@@ -89,3 +89,41 @@ def test_dropout_rngs_change_output_in_train_mode():
     e1 = model.apply(variables, x)
     e2 = model.apply(variables, x)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_remat_matches_unrematted():
+    """remat must be numerically invisible (same params, same output)."""
+    model_a = VPTRFormerFAR(num_past_frames=3, num_future_frames=3,
+                            num_encoder_layers=2, remat=False, **TINY)
+    model_b = VPTRFormerFAR(num_past_frames=3, num_future_frames=3,
+                            num_encoder_layers=2, remat=True, **TINY)
+    x = _feats(2, 5)
+    variables = model_a.init(jax.random.PRNGKey(0), x)
+    out_a = model_a.apply(variables, x)
+    out_b = model_b.apply(variables, x)
+    # remat re-associates fusions; float noise at 1e-6 is expected
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5, rtol=1e-4)
+    # and gradients agree
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x) ** 2)
+    ga = jax.grad(lambda v: loss(model_a, v))(variables)
+    gb = jax.grad(lambda v: loss(model_b, v))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_fused_attention_matches_in_model():
+    """fused_attention must not change FAR outputs (eval mode)."""
+    base = dict(num_past_frames=3, num_future_frames=3,
+                num_encoder_layers=1, **TINY)
+    model_a = VPTRFormerFAR(fused_attention=False, **base)
+    model_b = VPTRFormerFAR(fused_attention=True, **base)
+    x = _feats(2, 5)
+    variables = model_a.init(jax.random.PRNGKey(0), x)
+    out_a = model_a.apply(variables, x)
+    out_b = model_b.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)

@@ -72,10 +72,15 @@ class TransformerConfig:
     window_size: int = 4
     spatial_ffn_hidden_ratio: int = 4
     dropout: float = 0.1
+    attention_dropout: Optional[float] = None  # None -> same as dropout
+                                        # (set 0 to enable fused attention
+                                        # during training)
     drop_path: float = 0.1              # reference ties drop_path = dropout (VPTR_modules.py:114)
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA
     fused_attention: bool = False       # Pallas fused attention sublayers
+    remat: bool = False                 # jax.checkpoint each block: trade
+                                        # recompute for HBM (enables batch>=32)
     conv_ffn_norm: str = "auto"         # auto: layer for FAR/NAR-dec, batch for NAR-enc
                                         # (reference: VidHRFormer_modules.py:40-43,390)
 
@@ -266,6 +271,20 @@ _register("nar_kth", ExperimentConfig(
         variant="nar", num_encoder_layers=4, num_decoder_layers=8, rpe=True),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=dataclasses.replace(_kth_data(16), test_future_frames=40),
+    loss=LossConfig(lam_nce=0.1),
+))
+
+# 4b) VPTR-NAR BAIR action-free 2 -> 10 train, 2 -> 28 eval — the published
+#     headline config (README table, docs/Table2_Corrected.png; recipe
+#     train_NAR.py:160-216)
+_register("nar_bair", ExperimentConfig(
+    name="nar_bair", stage="nar", epochs=100,
+    ae=AutoencoderConfig(img_channels=3, out_layer="tanh"),
+    transformer=TransformerConfig(
+        variant="nar", num_past_frames=2, num_future_frames=10,
+        num_encoder_layers=4, num_decoder_layers=8, rpe=True),
+    optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
+    data=_bair_data(16, test_future=28),
     loss=LossConfig(lam_nce=0.1),
 ))
 

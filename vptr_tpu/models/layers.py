@@ -116,43 +116,14 @@ class MultiHeadAttention(nn.Module):
     kernel_init: Callable = xavier_uniform
     fused: bool = False
     fused_block: int = 64
+    remat_core: bool = False   # measured neutral on v5e at batch 10; saves
+                               # HBM at larger batch (padded logit residuals)
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None,
                  deterministic: bool = True):
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
-
-        use_fused = (self.fused and q_in is k_in and
-                     q_in.shape == v_in.shape and
-                     (self.dropout == 0.0 or deterministic))
-        if use_fused:
-            from vptr_tpu.ops.fused_window_attention import fused_attention
-
-            in_dim = q_in.shape[-1]
-            mk = lambda name: _DenseParams(self.dim, in_dim,
-                                           self.kernel_init, name=name)()
-            wq, bq = mk("q_proj")
-            wk, bk = mk("k_proj")
-            wv, bv = mk("v_proj")
-            wo, bo = mk("out_proj")
-            lead = q_in.shape[:-2]
-            length = q_in.shape[-2]
-            xqk = q_in.reshape((-1, length, in_dim))
-            xv = v_in.reshape((-1, length, in_dim))
-            full_bias = bias
-            if mask is not None:
-                mbias = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
-                mbias = mbias[None]  # (1, L, L)
-                full_bias = mbias if full_bias is None else full_bias + mbias
-            cast = lambda a: a.astype(self.dtype)
-            out = fused_attention(
-                cast(xqk), cast(xv), cast(wq), cast(bq), cast(wk), cast(bk),
-                cast(wv), cast(bv), cast(wo), cast(bo), full_bias,
-                self.num_heads, self.fused_block,
-                jax.default_backend() != "tpu")
-            return out.reshape(lead + (length, self.dim))
-
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
                                       kernel_init=self.kernel_init,
                                       bias_init=nn.initializers.zeros,
@@ -166,12 +137,44 @@ class MultiHeadAttention(nn.Module):
             return jnp.moveaxis(x, -2, -3)
 
         q, k, v = split(q), split(k), split(v)
-        drop_rng = None
-        if self.dropout > 0.0 and not deterministic:
-            drop_rng = self.make_rng("dropout")
-        out = dot_product_attention(q, k, v, bias=bias, mask=mask,
-                                    dropout_rate=self.dropout,
-                                    dropout_rng=drop_rng, dtype=self.dtype)
+
+        use_fused = (self.fused and q.shape == k.shape == v.shape and
+                     (self.dropout == 0.0 or deterministic))
+        if use_fused:
+            from vptr_tpu.ops.attention_core import attention_core
+
+            lead = q.shape[:-3]
+            h, lq = q.shape[-3], q.shape[-2]
+            flat = lambda z: z.reshape((-1, h, lq, hd))
+            full_bias = bias
+            if mask is not None:
+                mbias = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
+                mbias = mbias[None]  # (1, L, L)
+                full_bias = (mbias if full_bias is None
+                             else full_bias.astype(jnp.float32) + mbias)
+            out = attention_core(flat(q), flat(k), flat(v), full_bias,
+                                 self.fused_block,
+                                 jax.default_backend() != "tpu")
+            out = out.reshape(lead + (h, lq, hd))
+        else:
+            drop_rng = None
+            if self.dropout > 0.0 and not deterministic:
+                drop_rng = self.make_rng("dropout")
+            attn = dot_product_attention
+            if self.remat_core and drop_rng is None:
+                # recompute the (T, T) logits/weights in backward instead of
+                # saving them: XLA pads trailing (T, T) dims ~8x to lane
+                # tiles, so the saved buffers cost far more HBM than the
+                # recompute (measured on v5e; see CLAUDE.md)
+                attn = jax.checkpoint(
+                    lambda q, k, v, bias, mask: dot_product_attention(
+                        q, k, v, bias=bias, mask=mask, dtype=self.dtype),
+                    static_argnums=())
+                out = attn(q, k, v, bias, mask)
+            else:
+                out = attn(q, k, v, bias=bias, mask=mask,
+                           dropout_rate=self.dropout,
+                           dropout_rng=drop_rng, dtype=self.dtype)
         out = jnp.moveaxis(out, -3, -2)
         out = out.reshape(out.shape[:-2] + (self.dim,))
         return dense("out_proj")(out)

@@ -51,6 +51,7 @@ class EncoderBlock(nn.Module):
     window: int = 4
     dropout: float = 0.0
     drop_path: float = 0.0
+    attn_dropout: Optional[float] = None   # None -> dropout
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 2112
     far: bool = False                  # causal temporal mask + LayerNorm conv-FFN
@@ -60,16 +61,18 @@ class EncoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos2d, pos_t, *, train: bool = False,
+    def __call__(self, x, pos2d, pos_t, train: bool = False,
                  deterministic: bool = True):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         ffn_norm = self.conv_ffn_norm or ("layer" if self.far else "batch")
+        attn_drop = (self.dropout if self.attn_dropout is None
+                     else self.attn_dropout)
 
         # 1) local-window spatial self-attention
         y = WindowAttention(self.dim, self.num_heads, self.window,
-                            self.dropout, rpe=self.rpe,
+                            attn_drop, rpe=self.rpe,
                             fused=self.fused_attention, dtype=self.dtype,
                             name="slmhsa")(
             ln("norm1")(x), pos2d, deterministic=deterministic)
@@ -83,7 +86,7 @@ class EncoderBlock(nn.Module):
         x = x + dp(y, deterministic=deterministic)
 
         # 3) temporal attention per spatial location
-        y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+        y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                               causal=self.far, fused=self.fused_attention,
                               dtype=self.dtype, name="temporal")(
             ln("norm3")(x), pos_t, deterministic=deterministic)
@@ -104,6 +107,7 @@ class DecoderBlockNAR(nn.Module):
     window: int = 4
     dropout: float = 0.0
     drop_path: float = 0.0
+    attn_dropout: Optional[float] = None   # None -> dropout
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 2112
     tslma: bool = False
@@ -113,17 +117,19 @@ class DecoderBlockNAR(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, pos2d, pos_t_future,
-                 pos_t_past, pos3d, *, train: bool = False,
+                 pos_t_past, pos3d, train: bool = False,
                  deterministic: bool = True):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
 
+        attn_drop = (self.dropout if self.attn_dropout is None
+                     else self.attn_dropout)
         # 1) window self-attention on queries: q/k carry query_pos, value not
         #    (reference: VidHRFormer_modules.py:176-178)
         t2 = ln("norm1")(tgt)
         y = WindowAttention(self.dim, self.num_heads, self.window,
-                            self.dropout, rpe=self.rpe,
+                            attn_drop, rpe=self.rpe,
                             fused=self.fused_attention, dtype=self.dtype,
                             name="slmhsa")(
             t2 + query_pos, pos2d, value=t2, deterministic=deterministic)
@@ -138,7 +144,7 @@ class DecoderBlockNAR(nn.Module):
         tgt = tgt + dp(y, deterministic=deterministic)
 
         # 3) temporal self-attention over the Tf query frames
-        y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+        y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                               fused=self.fused_attention, dtype=self.dtype,
                               name="temporal")(
             ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
@@ -159,7 +165,7 @@ class DecoderBlockNAR(nn.Module):
         else:
             # full attention over time, per spatial location; query carries
             # query_pos + future temporal pos (VidHRFormer_modules.py:200-206)
-            y = TemporalAttention(self.dim, self.num_heads, self.dropout,
+            y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                   dtype=self.dtype, name="enc_dec")(
                 t5 + query_pos, pos_t_future, kv=memory, pos_k=pos_t_past,
                 deterministic=deterministic)
@@ -220,9 +226,11 @@ class VPTRFormerFAR(nn.Module):
     window: int = 4
     dropout: float = 0.1
     drop_path: float = 0.1
+    attn_dropout: Optional[float] = None
     ffn_hidden_ratio: int = 4
     rpe: bool = False
     fused_attention: bool = False
+    remat: bool = False                 # rematerialize blocks in backward
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -230,6 +238,8 @@ class VPTRFormerFAR(nn.Module):
                  deterministic: Optional[bool] = None):
         if deterministic is None:
             deterministic = not train
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
+                     if self.remat else EncoderBlock)
         t = feats.shape[1]
         t_max = self.num_past_frames + self.num_future_frames
         assert t <= t_max, f"sequence length {t} exceeds {t_max}"
@@ -238,14 +248,14 @@ class VPTRFormerFAR(nn.Module):
 
         x = feats
         for i in range(self.num_encoder_layers):
-            x = EncoderBlock(self.d_model, self.num_heads, self.window,
-                             self.dropout, self.drop_path,
-                             self.ffn_hidden_ratio,
-                             self.ffn_hidden_ratio * self.d_model,
-                             far=True, rpe=self.rpe,
-                             fused_attention=self.fused_attention,
-                             dtype=self.dtype, name=f"block{i}")(
-                x, pos2d, pos_t, train=train, deterministic=deterministic)
+            x = block_cls(self.d_model, self.num_heads, self.window,
+                          self.dropout, self.drop_path, self.attn_dropout,
+                          self.ffn_hidden_ratio,
+                          self.ffn_hidden_ratio * self.d_model,
+                          far=True, rpe=self.rpe,
+                          fused_attention=self.fused_attention,
+                          dtype=self.dtype, name=f"block{i}")(
+                x, pos2d, pos_t, train, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
         return nn.relu(x)
 
@@ -268,10 +278,12 @@ class VPTRFormerNAR(nn.Module):
     window: int = 4
     dropout: float = 0.1
     drop_path: float = 0.1
+    attn_dropout: Optional[float] = None
     ffn_hidden_ratio: int = 4
     tslma: bool = False
     rpe: bool = True
     fused_attention: bool = False
+    remat: bool = False                 # rematerialize blocks in backward
     conv_ffn_norm_enc: Optional[str] = None   # None -> batch (reference parity)
     dtype: Dtype = jnp.float32
 
@@ -284,14 +296,17 @@ class VPTRFormerNAR(nn.Module):
                           rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           dtype=self.dtype)
+        enc_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
+                   if self.remat else EncoderBlock)
+        dec_cls = (nn.remat(DecoderBlockNAR, static_argnums=(8, 9))
+                   if self.remat else DecoderBlockNAR)
         self.enc_blocks = [
-            EncoderBlock(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
-                         name=f"enc_block{i}", **block_args)
+            enc_cls(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
+                    name=f"enc_block{i}", **block_args)
             for i in range(self.num_encoder_layers)]
         self.enc_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dec_blocks = [
-            DecoderBlockNAR(tslma=self.tslma, name=f"dec_block{i}",
-                            **block_args)
+            dec_cls(tslma=self.tslma, name=f"dec_block{i}", **block_args)
             for i in range(self.num_decoder_layers)]
         self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         # learned frame queries (reference: VPTR_modules.py:132)
@@ -323,8 +338,7 @@ class VPTRFormerNAR(nn.Module):
 
         x = past_feats
         for block in self.enc_blocks:
-            x = block(x, pos2d, pos_t[:tp], train=train,
-                      deterministic=deterministic)
+            x = block(x, pos2d, pos_t[:tp], train, deterministic)
         memory = self.enc_norm(x)
 
         # queries broadcast over batch; target starts at zero
@@ -336,8 +350,7 @@ class VPTRFormerNAR(nn.Module):
 
         for block in self.dec_blocks:
             tgt = block(tgt, query_pos, memory, pos2d, pos_t[tp:tp + tf_],
-                        pos_t[:tp], pos3d, train=train,
-                        deterministic=deterministic)
+                        pos_t[:tp], pos3d, train, deterministic)
         tgt = self.dec_norm(tgt)
         return nn.relu(tgt)
 
@@ -364,9 +377,10 @@ def build_transformer(cfg, dtype=jnp.float32):
                   enc_h=cfg.enc_h, enc_w=cfg.enc_w, d_model=cfg.d_model,
                   num_heads=cfg.n_heads, window=cfg.window_size,
                   dropout=cfg.dropout, drop_path=cfg.drop_path,
+                  attn_dropout=cfg.attention_dropout,
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
-                  dtype=dtype)
+                  remat=cfg.remat, dtype=dtype)
     if cfg.variant == "far":
         return VPTRFormerFAR(num_encoder_layers=cfg.num_encoder_layers,
                              **common)

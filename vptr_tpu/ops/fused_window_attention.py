@@ -68,23 +68,28 @@ def _kernel(xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     k = proj(xqk, wk_ref, bk_ref)
     v = proj(xv, wv_ref, bv_ref)
 
-    def split(z):  # (TB*T, C) -> (TB, H, T, D)
-        return z.reshape(tb, tokens, num_heads, hd).transpose(0, 2, 1, 3)
+    def split(z):  # (TB*T, C) -> (TB*H, T, D) — Mosaic matmul allows only
+        # one batch dim, so windows and heads share it
+        z = z.reshape(tb, tokens, num_heads, hd).transpose(0, 2, 1, 3)
+        return z.reshape(tb * num_heads, tokens, hd)
 
     qh, kh, vh = split(q), split(k), split(v)
     scale = hd ** -0.5
     logits = jax.lax.dot_general(
         qh * scale, kh,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)        # (TB, H, T, T)
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (TB*H, T, T)
     if use_bias:
-        logits = logits + bias_ref[:][None].astype(jnp.float32)
+        b = bias_ref[:].astype(jnp.float32)        # (H, T, T)
+        logits = (logits.reshape(tb, num_heads, tokens, tokens) + b[None]
+                  ).reshape(tb * num_heads, tokens, tokens)
     weights = jax.nn.softmax(logits, axis=-1).astype(xqk.dtype)
     out = jax.lax.dot_general(
         weights, vh,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32).astype(xqk.dtype)  # (TB,H,T,D)
-    out = out.transpose(0, 2, 1, 3).reshape(tb * tokens, c)
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(xqk.dtype)  # (TB*H,T,D)
+    out = out.reshape(tb, num_heads, tokens, hd).transpose(0, 2, 1, 3)
+    out = out.reshape(tb * tokens, c)
     o_ref[:] = proj(out, wo_ref, bo_ref).reshape(tb, tokens, c)
 
 

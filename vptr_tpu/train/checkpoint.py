@@ -46,6 +46,14 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore as plain nested dicts — no structure template required.
+        Used for cross-stage handoff where only a subtree is wanted."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def load_history(self) -> dict:
         p = self.directory / "history.json"
         if p.exists():
@@ -56,12 +64,32 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def restore_module_state(directory: str, template: Any,
-                         step: Optional[int] = None) -> Any:
-    """One-shot restore (e.g. loading the frozen stage-1 AE into stage 2,
-    reference: train_FAR.py:210)."""
+def load_ae_modules(directory: str, step: Optional[int] = None):
+    """Load the frozen stage-1 (enc, dec) module states for stage 2
+    (reference: train_FAR.py:210 resumes the AE checkpoint into the stage-2
+    script). Rebuilds the stage-1 state template from the saved config.json
+    so the restore works across device topologies. ``directory`` is the
+    stage-1 ``<ckpt_dir>/ckpt``.
+
+    Returns (enc_state, dec_state) as ModuleState.
+    """
+    import json
+
+    from vptr_tpu.config import ExperimentConfig
+
+    cfg_path = Path(directory) / "config.json"
+    if not cfg_path.exists():
+        raise FileNotFoundError(
+            f"{cfg_path} missing — stage-1 checkpoints save their config "
+            "next to the step dirs; cannot rebuild the restore template")
+    cfg = ExperimentConfig().override(json.loads(cfg_path.read_text()))
+
+    from vptr_tpu.train.trainer import Trainer
+
+    template = Trainer(cfg, write_outputs=False).init_state()
     mgr = CheckpointManager(directory)
     try:
-        return mgr.restore(template, step)
+        restored = mgr.restore(template, step)
     finally:
         mgr.close()
+    return restored.enc, restored.dec

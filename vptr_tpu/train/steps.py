@@ -180,7 +180,8 @@ def make_ae_eval_step(enc, dec, disc, loss_cfg):
 # Stage 2 — FAR (reference: train_FAR.py:48-101)
 # ---------------------------------------------------------------------------
 
-def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg):
+def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
+                        remat_decoder: bool = False):
     lam_gan = loss_cfg.lam_gan
     gan_mode = loss_cfg.gan_mode
     use_gan = disc is not None and lam_gan is not None
@@ -205,9 +206,14 @@ def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg):
             pred_feats, new_vars = transformer.apply(
                 t_vars, gt_feats, train=True, mutable=mut,
                 rngs={"dropout": drop})
-            # grads flow THROUGH the frozen decoder (train_FAR.py:62-63)
-            pred_frames = dec.apply(state.dec.variables(), pred_feats,
-                                    train=False)
+            # grads flow THROUGH the frozen decoder (train_FAR.py:62-63);
+            # rematerialize its activations in backward when asked (the
+            # 64x64 conv intermediates dominate HBM at large batch)
+            dec_apply = lambda f: dec.apply(state.dec.variables(), f,
+                                            train=False)
+            if remat_decoder:
+                dec_apply = jax.checkpoint(dec_apply)
+            pred_frames = dec_apply(pred_feats)
             return pred_frames, new_vars.get("batch_stats", {})
 
         pred_frames, pullback, t_stats = jax.vjp(
@@ -270,7 +276,8 @@ def make_far_eval_step(enc, dec, transformer, loss_cfg):
 # Stage 2 — NAR (reference: train_NAR.py:49-107)
 # ---------------------------------------------------------------------------
 
-def make_nar_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg):
+def make_nar_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
+                        remat_decoder: bool = False):
     lam_gan = loss_cfg.lam_gan
     lam_nce = loss_cfg.lam_nce
     gan_mode = loss_cfg.gan_mode
@@ -295,8 +302,11 @@ def make_nar_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg):
             pred_feats, new_vars = transformer.apply(
                 t_vars, past_feats, train=True, mutable=mut,
                 rngs={"dropout": drop})
-            pred_frames = dec.apply(state.dec.variables(), pred_feats,
-                                    train=False)
+            dec_apply = lambda f: dec.apply(state.dec.variables(), f,
+                                            train=False)
+            if remat_decoder:
+                dec_apply = jax.checkpoint(dec_apply)
+            pred_frames = dec_apply(pred_feats)
             proj_pred = proj_gt = None
             if use_nce:
                 # project both through the NCE head (train_NAR.py:81-82)

@@ -27,7 +27,7 @@ from vptr_tpu.models.autoencoder import build_autoencoder
 from vptr_tpu.models.discriminator import build_discriminator
 from vptr_tpu.models.transformer import build_transformer
 from vptr_tpu.parallel.mesh import DATA_AXIS, make_mesh
-from vptr_tpu.train.checkpoint import CheckpointManager, restore_module_state
+from vptr_tpu.train.checkpoint import CheckpointManager, load_ae_modules
 from vptr_tpu.train.state import AETrainState, ModuleState, Stage2TrainState
 from vptr_tpu.train.steps import (
     make_ae_eval_step,
@@ -108,15 +108,17 @@ class Trainer:
             eval_step = make_ae_eval_step(self.enc, self.dec, self.disc,
                                           cfg.loss)
         elif cfg.stage == "far":
-            train_step = make_far_train_step(self.enc, self.dec,
-                                             self.transformer, self.disc,
-                                             self.g_opt, self.d_opt, cfg.loss)
+            train_step = make_far_train_step(
+                self.enc, self.dec, self.transformer, self.disc,
+                self.g_opt, self.d_opt, cfg.loss,
+                remat_decoder=cfg.transformer.remat)
             eval_step = make_far_eval_step(self.enc, self.dec,
                                            self.transformer, cfg.loss)
         elif cfg.stage == "nar":
-            train_step = make_nar_train_step(self.enc, self.dec,
-                                             self.transformer, self.disc,
-                                             self.g_opt, self.d_opt, cfg.loss)
+            train_step = make_nar_train_step(
+                self.enc, self.dec, self.transformer, self.disc,
+                self.g_opt, self.d_opt, cfg.loss,
+                remat_decoder=cfg.transformer.remat)
             eval_step = make_nar_eval_step(self.enc, self.dec,
                                            self.transformer, cfg.loss)
         else:
@@ -159,12 +161,7 @@ class Trainer:
         else:
             # load the frozen stage-1 AE (reference: train_FAR.py:210)
             if cfg.ae_ckpt:
-                ae_template = AETrainState(
-                    step=jnp.zeros((), jnp.int32), rng=rngs[3],
-                    enc=enc_state, dec=dec_state, disc=None, g_opt=None,
-                    d_opt=None)
-                restored = restore_module_state(cfg.ae_ckpt, ae_template)
-                enc_state, dec_state = restored.enc, restored.dec
+                enc_state, dec_state = load_ae_modules(cfg.ae_ckpt)
 
             t = cfg.transformer
             tp = d.num_past_frames if cfg.stage == "nar" else None

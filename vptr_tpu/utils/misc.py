@@ -84,7 +84,12 @@ class StepTimer:
 
 class AverageMeters:
     """Running means per named loss for one epoch
-    (reference: utils/train_summary.py:41-91)."""
+    (reference: utils/train_summary.py:41-91).
+
+    No cross-rank gather is needed (the reference all-gathers pickled meters,
+    train_FAR_mp.py:246,261): under jit with a batch sharded over the data
+    axis, every loss is already a global-batch mean — XLA inserts the
+    reduction. These meters only average over steps on host."""
 
     def __init__(self, names=None):
         self.sums: Dict[str, float] = {}

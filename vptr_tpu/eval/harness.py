@@ -33,37 +33,41 @@ ROLLOUT_MODES = ("far", "far_rip", "far_ril", "nar")
 
 
 def make_predict_fn(trainer, state, mode: str, num_pred: int):
-    """Build a jitted (past, future) -> pred_future_frames function."""
-    enc_vars = state.enc.variables()
-    dec_vars = state.dec.variables()
-    t_vars = state.transformer.variables()
-    enc_fn = partial(trainer.enc.apply, enc_vars, train=False)
-    dec_fn = partial(trainer.dec.apply, dec_vars, train=False)
-    tr_fn = partial(trainer.transformer.apply, t_vars, train=False)
+    """Build a jitted (past, future) -> pred_future_frames function.
+
+    Module variables are jit ARGUMENTS, not closure constants — baking 60M+
+    parameters into the HLO blows past the remote-compile relay's request
+    limit (HTTP 413) and bloats compile time everywhere else.
+    """
     tcfg = trainer.cfg.transformer
     context = tcfg.num_past_frames + tcfg.num_future_frames
+    if mode not in ROLLOUT_MODES:
+        raise ValueError(f"unknown rollout mode {mode!r}; "
+                         f"choose from {ROLLOUT_MODES}")
 
-    if mode == "far":
-        def predict(past, future):
+    @jax.jit
+    def _predict(enc_vars, dec_vars, t_vars, past, future):
+        enc_fn = partial(trainer.enc.apply, enc_vars, train=False)
+        dec_fn = partial(trainer.dec.apply, dec_vars, train=False)
+        tr_fn = partial(trainer.transformer.apply, t_vars, train=False)
+        if mode == "far":
             x = jnp.concatenate([past, future[:, :-1]], axis=1)
             pred = dec_fn(tr_fn(enc_fn(x)))
             return pred[:, -future.shape[1]:]
-    elif mode == "far_rip":
-        def predict(past, future):
+        if mode == "far_rip":
             return far_rollout_pixel(enc_fn, dec_fn, tr_fn, past,
                                      num_pred, context)
-    elif mode == "far_ril":
-        def predict(past, future):
+        if mode == "far_ril":
             return far_rollout_latent(enc_fn, dec_fn, tr_fn, past,
                                       num_pred, context)
-    elif mode == "nar":
-        def predict(past, future):
-            return nar_rollout(enc_fn, dec_fn, tr_fn, past, num_pred,
-                               tcfg.num_future_frames)
-    else:
-        raise ValueError(f"unknown rollout mode {mode!r}; "
-                         f"choose from {ROLLOUT_MODES}")
-    return jax.jit(predict)
+        return nar_rollout(enc_fn, dec_fn, tr_fn, past, num_pred,
+                           tcfg.num_future_frames)
+
+    enc_vars = state.enc.variables()
+    dec_vars = state.dec.variables()
+    t_vars = state.transformer.variables()
+    return lambda past, future: _predict(enc_vars, dec_vars, t_vars,
+                                         past, future)
 
 
 def evaluate(trainer, state, loader, *, mode: str = "far",

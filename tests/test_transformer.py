@@ -127,3 +127,27 @@ def test_fused_attention_matches_in_model():
     out_b = model_b.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_scan_layers_far():
+    """scan_layers stacks params (L, ...) and must behave like the unrolled
+    stack: causal, deterministic in eval, trains (finite grads)."""
+    model = VPTRFormerFAR(num_past_frames=3, num_future_frames=3,
+                          num_encoder_layers=3, scan_layers=True, **TINY)
+    x = _feats(2, 5)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    stacked = variables["params"]["blocks"]["block"]
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.shape[0] == 3  # stacked layer axis
+    out = model.apply(variables, x)
+    assert out.shape == x.shape
+    # causality survives the scan
+    x2 = np.asarray(x).copy()
+    x2[:, 3:] += RNG.normal(size=x2[:, 3:].shape).astype(np.float32)
+    out2 = model.apply(variables, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(out)[:, :3],
+                               np.asarray(out2)[:, :3], atol=1e-4, rtol=1e-4)
+    # gradients flow
+    g = jax.grad(lambda v: jnp.sum(model.apply(v, x) ** 2))(variables)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

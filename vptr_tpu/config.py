@@ -81,6 +81,9 @@ class TransformerConfig:
     fused_attention: bool = False       # Pallas fused attention sublayers
     remat: bool = False                 # jax.checkpoint each block: trade
                                         # recompute for HBM (enables batch>=32)
+    scan_layers: bool = False           # nn.scan the FAR block stack: ~12x
+                                        # smaller HLO, much faster compiles;
+                                        # changes the param tree (stacked)
     conv_ffn_norm: str = "auto"         # auto: layer for FAR/NAR-dec, batch for NAR-enc
                                         # (reference: VidHRFormer_modules.py:40-43,390)
 

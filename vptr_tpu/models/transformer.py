@@ -208,6 +208,38 @@ class TSLMA(nn.Module):
         return temporal_window_reverse(out, self.window, t2, (h, w))
 
 
+class _ScanEncoderBlock(nn.Module):
+    """EncoderBlock wrapped to the (carry, *broadcast) -> (carry, None)
+    shape nn.scan expects. Used by scan_layers=True stacks."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dropout: float
+    drop_path: float
+    attn_dropout: Optional[float]
+    ffn_hidden_ratio: int
+    dim_feedforward: int
+    far: bool
+    rpe: bool
+    fused_attention: bool
+    remat: bool
+    conv_ffn_norm: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos2d, pos_t, train, deterministic):
+        cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
+               if self.remat else EncoderBlock)
+        y = cls(self.dim, self.num_heads, self.window, self.dropout,
+                self.drop_path, self.attn_dropout, self.ffn_hidden_ratio,
+                self.dim_feedforward, far=self.far, rpe=self.rpe,
+                fused_attention=self.fused_attention,
+                conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
+                name="block")(x, pos2d, pos_t, train, deterministic)
+        return y, None
+
+
 class VPTRFormerFAR(nn.Module):
     """Fully-autoregressive latent transformer: encoder-only, causal in time
     (reference: model/VPTR_modules.py:154-197).
@@ -231,6 +263,9 @@ class VPTRFormerFAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     remat: bool = False                 # rematerialize blocks in backward
+    scan_layers: bool = False           # nn.scan the block stack: ~L-times
+                                        # smaller HLO / faster compiles;
+                                        # params stack to (L, ...) leaves
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -238,24 +273,37 @@ class VPTRFormerFAR(nn.Module):
                  deterministic: Optional[bool] = None):
         if deterministic is None:
             deterministic = not train
-        block_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
-                     if self.remat else EncoderBlock)
         t = feats.shape[1]
         t_max = self.num_past_frames + self.num_future_frames
         assert t <= t_max, f"sequence length {t} exceeds {t_max}"
         pos2d = position_embedding_2d(self.window, self.window, self.d_model)
         pos_t = position_embedding_1d(t_max, self.d_model)[:t]
 
-        x = feats
-        for i in range(self.num_encoder_layers):
-            x = block_cls(self.d_model, self.num_heads, self.window,
-                          self.dropout, self.drop_path, self.attn_dropout,
-                          self.ffn_hidden_ratio,
-                          self.ffn_hidden_ratio * self.d_model,
+        block_args = dict(dim=self.d_model, num_heads=self.num_heads,
+                          window=self.window, dropout=self.dropout,
+                          drop_path=self.drop_path,
+                          attn_dropout=self.attn_dropout,
+                          ffn_hidden_ratio=self.ffn_hidden_ratio,
+                          dim_feedforward=self.ffn_hidden_ratio * self.d_model,
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
-                          dtype=self.dtype, name=f"block{i}")(
-                x, pos2d, pos_t, train, deterministic)
+                          dtype=self.dtype)
+        x = feats
+        if self.scan_layers:
+            stack = nn.scan(
+                _ScanEncoderBlock,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 4,
+                length=self.num_encoder_layers)(
+                remat=self.remat, name="blocks", **block_args)
+            x, _ = stack(x, pos2d, pos_t, train, deterministic)
+        else:
+            block_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
+                         if self.remat else EncoderBlock)
+            for i in range(self.num_encoder_layers):
+                x = block_cls(name=f"block{i}", **block_args)(
+                    x, pos2d, pos_t, train, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
         return nn.relu(x)
 
@@ -383,7 +431,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   remat=cfg.remat, dtype=dtype)
     if cfg.variant == "far":
         return VPTRFormerFAR(num_encoder_layers=cfg.num_encoder_layers,
-                             **common)
+                             scan_layers=cfg.scan_layers, **common)
     if cfg.variant == "nar":
         enc_norm = None if cfg.conv_ffn_norm == "auto" else cfg.conv_ffn_norm
         return VPTRFormerNAR(num_encoder_layers=cfg.num_encoder_layers,

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def _parse_value(raw: str):
@@ -70,8 +69,10 @@ def cmd_info(args):
 
 
 def cmd_train(args):
+    from vptr_tpu.parallel.mesh import maybe_initialize_distributed
     from vptr_tpu.train.trainer import Trainer
 
+    maybe_initialize_distributed()
     cfg = _load_cfg(args)
     trainer = Trainer(cfg)
     trainer.train()

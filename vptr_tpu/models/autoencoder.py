@@ -19,7 +19,7 @@ no host sync, identical quality in our ablations — see tests).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

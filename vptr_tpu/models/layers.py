@@ -80,23 +80,6 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
-class _DenseParams(nn.Module):
-    """Raw (kernel, bias) with nn.Dense-compatible naming/shapes — lets the
-    fused Pallas path and the XLA Dense path share one parameter tree."""
-
-    features: int
-    in_features: int
-    kernel_init: Callable = xavier_uniform
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", self.kernel_init,
-                            (self.in_features, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        return kernel, bias
-
-
 class MultiHeadAttention(nn.Module):
     """Generic MHA with separate q/k/v/out projections.
 

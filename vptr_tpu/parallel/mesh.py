@@ -147,3 +147,24 @@ def num_hosts() -> int:
 
 def host_id() -> int:
     return jax.process_index()
+
+
+def maybe_initialize_distributed():
+    """Initialize jax.distributed when a multi-host launch environment is
+    detected (GKE/Borg TPU env vars or explicit JAX coordinator settings).
+    No-op on single host. Replaces the reference's hand-rolled NCCL
+    rendezvous (reference: train_FAR_mp.py:200-204).
+    """
+    import os
+
+    already = jax.process_count() > 1
+    if already:
+        return
+    markers = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+               "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+    if any(os.environ.get(m) for m in markers) and \
+            os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") != "localhost":
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-host fallback; jax.devices() still works

@@ -62,3 +62,48 @@ def test_mha_fused_matches_unfused():
         b = fused.apply(params, x, x, x, **kwargs)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_core_pallas_backward_matches_reference(use_bias):
+    """The hand-written Pallas backward must match jax.vjp of the reference
+    (q/k/v and bias grads), including ragged batches."""
+    b, h, t, d = 10, 3, 19, 8
+    q = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    bias = (jnp.asarray(RNG.normal(size=(h, t, t)).astype(np.float32))
+            if use_bias else None)
+
+    def loss_fused(*args):
+        return jnp.sum(attention_core(*args, 8, True) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_reference_core(*args) ** 2)
+
+    n_args = 4 if use_bias else 3
+    args = (q, k, v) + ((bias,) if use_bias else (None,))
+    gf = jax.grad(loss_fused, argnums=tuple(range(n_args)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(n_args)))(*args)
+    for name, a, b_ in zip("qkvb", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_core_broadcast_bias_grad():
+    """(1, T, T) bias (causal-mask style) gets a summed-over-heads grad."""
+    b, h, t, d = 4, 2, 16, 8
+    q = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    bias = jnp.asarray(RNG.normal(size=(1, t, t)).astype(np.float32))
+
+    def loss_fused(bias):
+        return jnp.sum(attention_core(q, q, q, bias, 4, True) ** 2)
+
+    def loss_ref(bias):
+        return jnp.sum(_reference_core(
+            q, q, q, jnp.broadcast_to(bias, (h, t, t))) ** 2)
+
+    gf = jax.grad(loss_fused)(bias)
+    gr = jax.grad(loss_ref)(bias)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=1e-3, rtol=1e-3)

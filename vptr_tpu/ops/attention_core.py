@@ -101,25 +101,111 @@ def attention_core(q, k, v, bias, block_b: int = 128,
     return _core_forward(q, k, v, bias, block_b, interpret)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, use_bias: bool):
+    """Recompute-and-differentiate backward for one (head, batch-tile) cell.
+
+    Grid is (heads, batch_tiles) — heads OUTER so each head's dbias block is
+    revisited on consecutive grid steps (accumulation-safe)."""
+    i = pl.program_id(1)                 # batch tile index
+    q = q_ref[:, 0]                      # (TB, T, D)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    g = g_ref[:, 0]
+    d = q.shape[-1]
+    scale = d ** -0.5
+
+    logits = jax.lax.dot_general(
+        q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (TB, T, T)
+    if use_bias:
+        logits = logits + bias_ref[:].astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)              # f32
+
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # dv = w^T g
+    dv = jax.lax.dot_general(
+        w, gf, dimension_numbers=(((1,), (1,)), ((0,), (0,))))  # (TB, T, D)
+    # dw = g v^T
+    dw = jax.lax.dot_general(
+        gf, vf, dimension_numbers=(((2,), (2,)), ((0,), (0,))))  # (TB, T, T)
+    # softmax backward
+    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))      # (TB, T, T)
+    # dq = (dl k) * scale ; dk = (dl^T q) * scale
+    dq = jax.lax.dot_general(
+        dl, k.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale
+    dk = jax.lax.dot_general(
+        dl, (q * scale).astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))))
+
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
+    if use_bias:
+        dsum = jnp.sum(dl, axis=0)                   # (T, T)
+
+        @pl.when(i == 0)
+        def _():
+            dbias_ref[0] = dsum
+
+        @pl.when(i > 0)
+        def _():
+            dbias_ref[0] = dbias_ref[0] + dsum
+    else:
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+
+def _core_backward(q, k, v, bias, g, block_b: int, interpret: bool):
+    b, h, t, d = q.shape
+    use_bias = bias is not None
+    bias_in = (jnp.broadcast_to(bias.astype(jnp.float32), (h, t, t))
+               if use_bias else jnp.zeros((h, t, t), jnp.float32))
+
+    tb = min(block_b, b)
+    pad = (-b) % tb
+    if pad:
+        zeros = jnp.zeros((pad, h, t, d), q.dtype)
+        q = jnp.concatenate([q, zeros], axis=0)
+        k = jnp.concatenate([k, zeros], axis=0)
+        v = jnp.concatenate([v, zeros], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, h, t, d), g.dtype)], axis=0)
+    grid = (h, q.shape[0] // tb)         # heads outer (see kernel docstring)
+
+    seq = lambda: pl.BlockSpec((tb, 1, t, d), lambda j, i: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+    head_bias = lambda: pl.BlockSpec((1, t, t), lambda j, i: (j, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, use_bias=use_bias),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((h, t, t), jnp.float32)),
+        grid=grid,
+        in_specs=[seq(), seq(), seq(), head_bias(), seq()],
+        out_specs=(seq(), seq(), seq(), head_bias()),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, bias_in, g)
+    if pad:
+        dq, dk, dv = dq[:b], dk[:b], dv[:b]
+    if not use_bias:
+        return dq, dk, dv, None
+    if bias.shape[0] == 1:
+        dbias = jnp.sum(dbias, axis=0, keepdims=True)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
 def _fwd(q, k, v, bias, block_b, interpret):
     return _core_forward(q, k, v, bias, block_b, interpret), (q, k, v, bias)
 
 
 def _bwd(block_b, interpret, residuals, g):
     q, k, v, bias = residuals
-    has_bias = bias is not None
-
-    def ref(*args):
-        if has_bias:
-            return _reference_core(*args)
-        return _reference_core(*args, None)
-
-    primals = (q, k, v) + ((bias,) if has_bias else ())
-    _, pullback = jax.vjp(ref, *primals)
-    grads = pullback(g)
-    if not has_bias:
-        grads = grads + (None,)
-    return grads
+    return _core_backward(q, k, v, bias, g, block_b, interpret)
 
 
 attention_core.defvjp(_fwd, _bwd)

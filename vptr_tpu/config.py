@@ -154,6 +154,9 @@ class ExperimentConfig:
     log_every: int = 50
     profile_dir: Optional[str] = None   # jax.profiler trace output (epoch 1)
     profile_steps: int = 5
+    debug_nans: bool = False            # jax nan-checking mode (the JAX
+                                        # equivalent of a sanitizer run;
+                                        # SURVEY.md §5 race-detection row)
     dtype: str = "bfloat16"             # compute dtype; params always float32
     ae: AutoencoderConfig = field(default_factory=AutoencoderConfig)
     disc: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)

@@ -55,6 +55,9 @@ class Trainer:
                  write_outputs: bool = True):
         self.cfg = cfg
         self.dtype = _dtype_of(cfg.dtype)
+        if cfg.debug_nans:
+            # sanitizer mode: every op checked for NaNs (slow; debugging only)
+            jax.config.update("jax_debug_nans", True)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh.data, cfg.mesh.model)
         self.batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))

@@ -42,7 +42,7 @@ def main():
 
     # (b) K steps per dispatch via lax.scan
     k = 10
-    raw_step = tr.train_step.__wrapped__  # un-jitted step fn
+    raw_step = tr.raw_train_step  # un-jitted step fn
 
     @jax.jit
     def multi_step(state, past, future):

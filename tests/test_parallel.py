@@ -84,3 +84,27 @@ def test_tp_sharded_step_matches_replicated():
     for k in m_rep:
         np.testing.assert_allclose(float(m_tp[k]), float(m_rep[k]),
                                    atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+def test_sequence_parallel_matches_baseline():
+    """sequence_parallel shards temporal-attention columns over 'model';
+    results must match the unsharded run."""
+    cfg_base = get_preset("far_mnist").override(TINY)
+    cfg_sp = get_preset("far_mnist").override(
+        {**TINY, "mesh": {"data": 4, "model": 2},
+         "transformer": {**TINY["transformer"], "sequence_parallel": True}})
+    past, future = _batch(np.random.default_rng(3))
+
+    tr_base = Trainer(cfg_base, mesh=make_mesh(data=1, model=1,
+                                               devices=jax.devices()[:1]),
+                      write_outputs=False)
+    s0 = tr_base.init_state()
+    s0, m0 = tr_base.train_step(s0, *tr_base.put_batch(past, future))
+
+    tr_sp = Trainer(cfg_sp, mesh=make_mesh(data=4, model=2),
+                    write_outputs=False)
+    s1 = tr_sp.init_state()
+    s1, m1 = tr_sp.train_step(s1, *tr_sp.put_batch(past, future))
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)

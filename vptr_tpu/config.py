@@ -79,6 +79,9 @@ class TransformerConfig:
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA
     fused_attention: bool = False       # Pallas fused attention sublayers
+    sequence_parallel: bool = False     # shard the temporal-attention token
+                                        # columns over the 'model' mesh axis
+                                        # (alternative to tensor parallel)
     remat: bool = False                 # jax.checkpoint each block: trade
                                         # recompute for HBM (enables batch>=32)
     scan_layers: bool = False           # nn.scan the FAR block stack: ~12x

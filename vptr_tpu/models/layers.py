@@ -234,6 +234,10 @@ class TemporalAttention(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     fused: bool = False
+    sp: bool = False        # sequence parallel: shard the (H*W) column axis
+                            # over the 'model' mesh axis (GSPMD inserts the
+                            # collectives); alternative to head TP — do not
+                            # combine both on the same axis
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -245,13 +249,24 @@ class TemporalAttention(nn.Module):
             yn, yt, yh, yw, yc = y.shape
             return y.transpose(0, 2, 3, 1, 4).reshape(yn, yh * yw, yt, yc)
 
-        q_in = cols(x) + pos_q[None, None, :, :].astype(x.dtype)
+        def sp_shard(y):
+            if not self.sp:
+                return y
+            from jax.sharding import PartitionSpec as P
+
+            # (N, HW, T, C): token columns sharded over 'model'; the batch
+            # axis is left unconstrained so propagation keeps whatever the
+            # caller chose (and ragged eval batches stay legal)
+            return jax.lax.with_sharding_constraint(
+                y, P(None, "model", None, None))
+
+        q_in = sp_shard(cols(x) + pos_q[None, None, :, :].astype(x.dtype))
         if kv is None:
-            k_in, v_in = q_in, cols(x)
+            k_in, v_in = q_in, sp_shard(cols(x))
         else:
             kcols = cols(kv)
-            k_in = kcols + pos_k[None, None, :, :].astype(x.dtype)
-            v_in = kcols
+            k_in = sp_shard(kcols + pos_k[None, None, :, :].astype(x.dtype))
+            v_in = sp_shard(kcols)
 
         mask = None
         if self.causal and kv is None:

@@ -57,6 +57,7 @@ class EncoderBlock(nn.Module):
     far: bool = False                  # causal temporal mask + LayerNorm conv-FFN
     rpe: bool = False
     fused_attention: bool = False
+    sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
     dtype: Dtype = jnp.float32
 
@@ -88,6 +89,7 @@ class EncoderBlock(nn.Module):
         # 3) temporal attention per spatial location
         y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                               causal=self.far, fused=self.fused_attention,
+                              sp=self.sequence_parallel,
                               dtype=self.dtype, name="temporal")(
             ln("norm3")(x), pos_t, deterministic=deterministic)
         x = x + drop(y)
@@ -113,6 +115,7 @@ class DecoderBlockNAR(nn.Module):
     tslma: bool = False
     rpe: bool = False
     fused_attention: bool = False
+    sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,7 +148,8 @@ class DecoderBlockNAR(nn.Module):
 
         # 3) temporal self-attention over the Tf query frames
         y = TemporalAttention(self.dim, self.num_heads, attn_drop,
-                              fused=self.fused_attention, dtype=self.dtype,
+                              fused=self.fused_attention,
+                              sp=self.sequence_parallel, dtype=self.dtype,
                               name="temporal")(
             ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
         tgt = tgt + drop(y)
@@ -166,6 +170,7 @@ class DecoderBlockNAR(nn.Module):
             # full attention over time, per spatial location; query carries
             # query_pos + future temporal pos (VidHRFormer_modules.py:200-206)
             y = TemporalAttention(self.dim, self.num_heads, attn_drop,
+                                  sp=self.sequence_parallel,
                                   dtype=self.dtype, name="enc_dec")(
                 t5 + query_pos, pos_t_future, kv=memory, pos_k=pos_t_past,
                 deterministic=deterministic)
@@ -224,6 +229,7 @@ class _ScanEncoderBlock(nn.Module):
     rpe: bool
     fused_attention: bool
     remat: bool
+    sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -235,6 +241,7 @@ class _ScanEncoderBlock(nn.Module):
                 self.drop_path, self.attn_dropout, self.ffn_hidden_ratio,
                 self.dim_feedforward, far=self.far, rpe=self.rpe,
                 fused_attention=self.fused_attention,
+                sequence_parallel=self.sequence_parallel,
                 conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
                 name="block")(x, pos2d, pos_t, train, deterministic)
         return y, None
@@ -262,6 +269,7 @@ class VPTRFormerFAR(nn.Module):
     ffn_hidden_ratio: int = 4
     rpe: bool = False
     fused_attention: bool = False
+    sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
     scan_layers: bool = False           # nn.scan the block stack: ~L-times
                                         # smaller HLO / faster compiles;
@@ -287,6 +295,7 @@ class VPTRFormerFAR(nn.Module):
                           dim_feedforward=self.ffn_hidden_ratio * self.d_model,
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
+                          sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         x = feats
         if self.scan_layers:
@@ -331,6 +340,7 @@ class VPTRFormerNAR(nn.Module):
     tslma: bool = False
     rpe: bool = True
     fused_attention: bool = False
+    sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
     conv_ffn_norm_enc: Optional[str] = None   # None -> batch (reference parity)
     dtype: Dtype = jnp.float32
@@ -428,6 +438,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   attn_dropout=cfg.attention_dropout,
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
+                  sequence_parallel=cfg.sequence_parallel,
                   remat=cfg.remat, dtype=dtype)
     if cfg.variant == "far":
         return VPTRFormerFAR(num_encoder_layers=cfg.num_encoder_layers,

@@ -126,11 +126,29 @@ class Trainer:
                                            self.transformer, cfg.loss)
         else:
             raise ValueError(f"unknown stage {self.cfg.stage!r}")
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_step)
+        jitted_train = jax.jit(train_step, donate_argnums=(0,))
+        jitted_eval = jax.jit(eval_step)
+
+        # trace under the mesh context so bare-PartitionSpec sharding
+        # constraints (sequence_parallel) resolve against our mesh
+        def train_in_mesh(*args):
+            with self.mesh:
+                return jitted_train(*args)
+
+        def eval_in_mesh(*args):
+            with self.mesh:
+                return jitted_eval(*args)
+
+        self.train_step = train_in_mesh
+        self.eval_step = eval_in_mesh
+        self.raw_train_step = train_step   # un-jitted (scan/probe tooling)
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None):
+        with self.mesh:
+            return self._init_state(rng)
+
+    def _init_state(self, rng: Optional[jax.Array] = None):
         cfg = self.cfg
         rng = rng if rng is not None else set_seed(cfg.seed, cfg.rng_impl)
         d = cfg.data

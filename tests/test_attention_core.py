@@ -21,7 +21,7 @@ def test_core_matches_reference(t, use_bias):
     bias = (jnp.asarray(RNG.normal(size=(h, t, t)).astype(np.float32))
             if use_bias else None)
     ref = _reference_core(q, k, v, bias)
-    got = attention_core(q, k, v, bias, 8, True)  # interpret
+    got = attention_core(q, k, v, bias, 0, 0.0, 8, True)  # interpret
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -33,7 +33,7 @@ def test_core_ragged_batch_and_grads():
     v = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
 
     def loss_fused(q, k, v):
-        return jnp.sum(attention_core(q, k, v, None, 8, True) ** 2)
+        return jnp.sum(attention_core(q, k, v, None, 0, 0.0, 8, True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(_reference_core(q, k, v, None) ** 2)
@@ -76,7 +76,7 @@ def test_core_pallas_backward_matches_reference(use_bias):
             if use_bias else None)
 
     def loss_fused(*args):
-        return jnp.sum(attention_core(*args, 8, True) ** 2)
+        return jnp.sum(attention_core(*args, 0, 0.0, 8, True) ** 2)
 
     def loss_ref(*args):
         return jnp.sum(_reference_core(*args) ** 2)
@@ -97,7 +97,7 @@ def test_core_broadcast_bias_grad():
     bias = jnp.asarray(RNG.normal(size=(1, t, t)).astype(np.float32))
 
     def loss_fused(bias):
-        return jnp.sum(attention_core(q, q, q, bias, 4, True) ** 2)
+        return jnp.sum(attention_core(q, q, q, bias, 0, 0.0, 4, True) ** 2)
 
     def loss_ref(bias):
         return jnp.sum(_reference_core(
@@ -107,3 +107,76 @@ def test_core_broadcast_bias_grad():
     gr = jax.grad(loss_ref)(bias)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel attention-weight dropout (counter-based hash PRNG)
+# ---------------------------------------------------------------------------
+
+def test_core_dropout_matches_masked_reference():
+    """With dropout active, the kernel must equal the XLA reference fed the
+    SAME keep mask (re-derived via the plain-jnp twin of the in-kernel hash).
+    Proves the kernel's mask generation, scaling, and placement."""
+    from vptr_tpu.ops.attention_core import dropout_keep_mask
+
+    b, h, t, d, rate, seed = 12, 4, 16, 8, 0.3, 1234
+    q = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+
+    keep = dropout_keep_mask(seed, b, h, t, rate)
+    frac = float(np.asarray(keep).mean())
+    assert abs(frac - (1 - rate)) < 0.03, f"keep fraction {frac} vs {1-rate}"
+
+    ref = _reference_core(q, k, v, None, keep=keep, rate=rate)
+    got = attention_core(q, k, v, None, seed, rate, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # different seed -> different output
+    other = attention_core(q, k, v, None, seed + 1, rate, 8, True)
+    assert not np.allclose(np.asarray(got), np.asarray(other))
+
+
+def test_core_dropout_backward_matches_masked_reference():
+    """The Pallas backward regenerates the forward mask from the seed: its
+    grads must equal jax.grad of the mask-fed XLA reference."""
+    from vptr_tpu.ops.attention_core import dropout_keep_mask
+
+    b, h, t, d, rate, seed = 10, 3, 19, 8, 0.25, 77
+    q = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, t, d)).astype(np.float32))
+    bias = jnp.asarray(RNG.normal(size=(h, t, t)).astype(np.float32))
+    keep = dropout_keep_mask(seed, b, h, t, rate)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(attention_core(q, k, v, bias, seed, rate, 8, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_reference_core(q, k, v, bias, keep=keep,
+                                       rate=rate) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b_ in zip("qkvb", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_mha_fused_dropout_trains():
+    """MultiHeadAttention(fused=True) with attention dropout active must run
+    (non-deterministic path), differ from the deterministic output, and have
+    ~E[out] equal to it."""
+    dim, heads, L, B = 24, 4, 16, 8
+    x = jnp.asarray(RNG.normal(size=(B, L, dim)).astype(np.float32))
+    mha = MultiHeadAttention(dim, heads, dropout=0.4, fused=True)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    det = mha.apply(params, x, x, x, deterministic=True)
+    outs = [mha.apply(params, x, x, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(i)})
+            for i in range(32)]
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+    avg = np.mean([np.asarray(o) for o in outs], axis=0)
+    # dropout is unbiased: the seed-average approaches the deterministic out
+    err = np.abs(avg - np.asarray(det)).mean() / np.abs(det).mean()
+    assert err < 0.25, f"dropout not unbiased-ish: rel err {err}"

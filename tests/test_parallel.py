@@ -108,3 +108,98 @@ def test_sequence_parallel_matches_baseline():
     for k in m0:
         np.testing.assert_allclose(float(m1[k]), float(m0[k]),
                                    atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+NAR_TINY = {
+    "dtype": "float32",
+    "ae": {"feat_dim": 24, "n_res_blocks": 1},
+    "transformer": {"variant": "nar", "d_model": 24, "n_heads": 4,
+                    "num_encoder_layers": 2, "num_decoder_layers": 2,
+                    "num_past_frames": 2, "num_future_frames": 2,
+                    "enc_h": 4, "enc_w": 4,   # 32px, 3 downs -> 4x4 latents
+                    "rpe": True, "dropout": 0.0, "drop_path": 0.0},
+    "data": {"batch_size": 8, "img_size": 32,
+             "num_past_frames": 2, "num_future_frames": 2},
+}
+
+
+def test_nar_dp_matches_single_device():
+    """NAR step (enc-dec attention, BatchNorm conv-FFN in the encoder, NCE
+    head) under 8-way DP == single device (reference: train_NAR_mp.py:94-118
+    semantics)."""
+    cfg = get_preset("nar_mnist").override(NAR_TINY)
+    past, future = _batch(np.random.default_rng(5))
+
+    tr_dp = Trainer(cfg, mesh=make_mesh(data=8, model=1),
+                    write_outputs=False)
+    s_dp = tr_dp.init_state()
+    s_dp, m_dp = tr_dp.train_step(s_dp, *tr_dp.put_batch(past, future))
+
+    tr_1 = Trainer(cfg, mesh=make_mesh(data=1, model=1),
+                   write_outputs=False)
+    s_1 = tr_1.init_state()
+    s_1, m_1 = tr_1.train_step(s_1, *tr_1.put_batch(past, future))
+
+    for k in m_1:
+        np.testing.assert_allclose(float(m_dp[k]), float(m_1[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    # BatchNorm batch-stats must be GLOBAL-batch statistics under DP
+    # (SURVEY.md §7 "hard parts": stats silently diverge per-shard otherwise)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dp.transformer.stats),
+                    jax.tree_util.tree_leaves(s_1.transformer.stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_nar_tp_sharded_step_matches_replicated():
+    cfg = get_preset("nar_mnist").override(
+        {**NAR_TINY, "mesh": {"data": 4, "model": 2}})
+    past, future = _batch(np.random.default_rng(6))
+
+    mesh = make_mesh(data=4, model=2)
+    tr = Trainer(cfg, mesh=mesh, write_outputs=False)
+    template = jax.eval_shape(tr.init_state)
+    shardings = state_sharding(template, mesh, tensor_parallel=True)
+    state_tp = jax.jit(tr.init_state, out_shardings=shardings)()
+    specs = tp_param_specs(state_tp.transformer.params)
+    sharded = [s for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)) if len(s) > 0]
+    assert sharded, "no tensor-parallel rules matched for NAR"
+
+    state_rep = tr.init_state()
+    s_tp, m_tp = tr.train_step(state_tp, *tr.put_batch(past, future))
+    s_rep, m_rep = tr.train_step(state_rep, *tr.put_batch(past, future))
+    for k in m_rep:
+        np.testing.assert_allclose(float(m_tp[k]), float(m_rep[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+def test_ae_dp_matches_single_device():
+    """Stage-1 AE step (GAN alternation + conv BatchNorm everywhere) under
+    8-way DP == single device (reference: train_AutoEncoder.py:59-74 + DDP).
+    BatchNorm batch stats are the classic DP divergence trap."""
+    cfg = get_preset("ae_mnist").override({
+        "dtype": "float32",
+        "ae": {"feat_dim": 24, "n_res_blocks": 1, "n_downsampling": 2},
+        "data": {"batch_size": 8, "img_size": 32,
+                 "num_past_frames": 2, "num_future_frames": 2},
+    })
+    past, future = _batch(np.random.default_rng(7))
+
+    tr_dp = Trainer(cfg, mesh=make_mesh(data=8, model=1),
+                    write_outputs=False)
+    s_dp = tr_dp.init_state()
+    s_dp, m_dp = tr_dp.train_step(s_dp, *tr_dp.put_batch(past, future))
+
+    tr_1 = Trainer(cfg, mesh=make_mesh(data=1, model=1),
+                   write_outputs=False)
+    s_1 = tr_1.init_state()
+    s_1, m_1 = tr_1.train_step(s_1, *tr_1.put_batch(past, future))
+
+    for k in m_1:
+        np.testing.assert_allclose(float(m_dp[k]), float(m_1[k]),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dp.enc.stats),
+                    jax.tree_util.tree_leaves(s_1.enc.stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

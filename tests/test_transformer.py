@@ -151,3 +151,44 @@ def test_scan_layers_far():
     g = jax.grad(lambda v: jnp.sum(model.apply(v, x) ** 2))(variables)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_scan_layers_nar_matches_unrolled():
+    """NAR scan_layers must be numerically identical to the unrolled stack:
+    restacking the unrolled per-layer params into the (L, ...) scan layout
+    must reproduce the same output."""
+    kw = dict(num_past_frames=3, num_future_frames=3, num_encoder_layers=2,
+              num_decoder_layers=2, rpe=True, **TINY)
+    unrolled = VPTRFormerNAR(scan_layers=False, **kw)
+    scanned = VPTRFormerNAR(scan_layers=True, **kw)
+    x = _feats(2, 3)
+    uvars = unrolled.init(jax.random.PRNGKey(0), x, method="init_all")
+
+    def stack(prefix, col):
+        subs = []
+        i = 0
+        while f"{prefix}{i}" in col:
+            subs.append(col[f"{prefix}{i}"])
+            i += 1
+        return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *subs)
+
+    svars = {}
+    for colname, col in uvars.items():
+        new = {k: v for k, v in col.items()
+               if not (k.startswith("enc_block") or k.startswith("dec_block"))}
+        if any(k.startswith("enc_block") for k in col):
+            new["enc_blocks"] = {"block": stack("enc_block", col)}
+        if any(k.startswith("dec_block") for k in col):
+            new["dec_blocks"] = {"block": stack("dec_block", col)}
+        svars[colname] = new
+
+    a = unrolled.apply(uvars, x)
+    b = scanned.apply(svars, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+    # gradients flow through the scanned stack
+    g = jax.grad(lambda v: jnp.sum(scanned.apply(v, x) ** 2))(
+        {"params": svars["params"]} | {k: v for k, v in svars.items()
+                                       if k != "params"})
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -81,7 +81,7 @@ def cmd_train(args):
 def cmd_eval(args):
     from vptr_tpu.data.loader import build_loader
     from vptr_tpu.eval.harness import evaluate
-    from vptr_tpu.eval.lpips import make_lpips_fn
+    from vptr_tpu.eval.lpips import lpips_available, make_lpips_fn
     from vptr_tpu.train.trainer import Trainer
 
     cfg = _load_cfg(args)
@@ -90,7 +90,10 @@ def cmd_eval(args):
     if trainer.ckpt is not None and trainer.ckpt.latest_step() is not None:
         state = trainer.ckpt.restore(state)
     loader = build_loader(cfg.data, split="test", seed=cfg.seed)
-    lpips_fn = make_lpips_fn() if args.lpips else None
+    # LPIPS reports automatically when pretrained weights are present
+    # (reference: Test_VPTR.ipynb cell 9); --no-lpips opts out
+    lpips_fn = (make_lpips_fn()
+                if (lpips_available() and not args.no_lpips) else None)
     curves = evaluate(trainer, state, loader, mode=args.mode,
                       num_pred=args.num_pred, lpips_fn=lpips_fn,
                       max_batches=args.max_batches)
@@ -125,7 +128,8 @@ def main(argv=None):
                         choices=["far", "far_rip", "far_ril", "nar"])
     p_eval.add_argument("--num-pred", type=int, default=None)
     p_eval.add_argument("--max-batches", type=int, default=None)
-    p_eval.add_argument("--lpips", action="store_true")
+    p_eval.add_argument("--no-lpips", action="store_true",
+                        help="skip LPIPS even when weights are available")
     p_eval.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args(argv)

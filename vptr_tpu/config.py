@@ -79,6 +79,9 @@ class TransformerConfig:
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA
     fused_attention: bool = False       # Pallas fused attention sublayers
+    fused_full: bool = False            # fully-fused sublayer kernel: q/k/v/out
+                                        # projections run inside the Pallas
+                                        # kernel too (fwd AND bwd)
     sequence_parallel: bool = False     # shard the temporal-attention token
                                         # columns over the 'model' mesh axis
                                         # (alternative to tensor parallel)

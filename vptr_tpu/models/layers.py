@@ -34,6 +34,22 @@ xavier_uniform = nn.initializers.xavier_uniform()
 trunc_normal_002 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder shaped exactly like ``nn.Dense`` ({kernel, bias}) so
+    the fully-fused attention path shares checkpoints with the XLA path."""
+
+    features: int
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def relative_position_index(window: int) -> np.ndarray:
     """Precomputed (win^2, win^2) index into the (2w-1)^2 bias table.
 
@@ -86,10 +102,18 @@ class MultiHeadAttention(nn.Module):
     Operates on (..., L, C) with arbitrary leading batch dims. Optional
     additive ``bias`` of shape (heads, Lq, Lk) and boolean ``mask`` (Lq, Lk).
 
-    ``fused=True`` routes eligible self-attention calls (q_in is k_in, no
-    attention dropout active) through the Pallas fused kernel
-    (vptr_tpu.ops.fused_window_attention); all other calls fall back to the
-    XLA path. Both paths share the same parameters.
+    ``fused=True`` routes eligible self-attention calls (q/k/v of equal
+    shape) through a Pallas fused kernel; ineligible calls fall back to the
+    XLA path. Two fused flavors, both sharing this module's parameters:
+
+    * ``fused_full=False`` — XLA Dense projections + the
+      ``vptr_tpu.ops.attention_core`` fwd+bwd softmax-attention kernel.
+    * ``fused_full=True``  — the whole sublayer (q/k/v/out projections +
+      attention) in one ``vptr_tpu.ops.fused_window_attention`` kernel.
+
+    Attention-weight dropout runs inside the kernel (counter-based TPU PRNG),
+    so the fused paths are available under the reference parity config
+    (attention dropout 0.1, MultiHeadAttentionRPE.py:547).
     """
 
     dim: int
@@ -98,6 +122,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = xavier_uniform
     fused: bool = False
+    fused_full: bool = False   # whole-sublayer kernel (projections included)
     fused_block: int = 64
     remat_core: bool = False   # measured neutral on v5e at batch 10; saves
                                # HBM at larger batch (padded logit residuals)
@@ -107,6 +132,43 @@ class MultiHeadAttention(nn.Module):
                  deterministic: bool = True):
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
+
+        def full_bias_of(bias, mask):
+            if mask is None:
+                return bias
+            mbias = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
+            mbias = mbias[None]  # (1, L, L)
+            return (mbias if bias is None
+                    else bias.astype(jnp.float32) + mbias)
+
+        def dropout_seed(rate):
+            if rate == 0.0:
+                return jnp.int32(0)
+            return jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+
+        use_full = (self.fused and self.fused_full and q_in is k_in and
+                    v_in.shape == q_in.shape and q_in.shape[-1] == self.dim)
+        if use_full:
+            from vptr_tpu.ops.fused_window_attention import fused_attention
+
+            rate = 0.0 if deterministic else self.dropout
+            params = [_DenseParams(self.dim, self.kernel_init, name=n)(
+                self.dim) for n in ("q_proj", "k_proj", "v_proj", "out_proj")]
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = [
+                (w.astype(self.dtype), b.astype(jnp.float32))
+                for w, b in params]
+            lead = q_in.shape[:-2]
+            l = q_in.shape[-2]
+            flat = lambda z: z.reshape((-1, l, self.dim)).astype(self.dtype)
+            out = fused_attention(
+                flat(q_in), flat(v_in), wq, bq, wk, bk, wv, bv, wo, bo,
+                full_bias_of(bias, mask), dropout_seed(rate),
+                self.num_heads, rate, self.fused_block,
+                jax.default_backend() != "tpu")
+            return out.reshape(lead + (l, self.dim))
+
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
                                       kernel_init=self.kernel_init,
                                       bias_init=nn.initializers.zeros,
@@ -121,22 +183,17 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
-        use_fused = (self.fused and q.shape == k.shape == v.shape and
-                     (self.dropout == 0.0 or deterministic))
+        use_fused = self.fused and q.shape == k.shape == v.shape
         if use_fused:
             from vptr_tpu.ops.attention_core import attention_core
 
+            rate = 0.0 if deterministic else self.dropout
             lead = q.shape[:-3]
             h, lq = q.shape[-3], q.shape[-2]
             flat = lambda z: z.reshape((-1, h, lq, hd))
-            full_bias = bias
-            if mask is not None:
-                mbias = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
-                mbias = mbias[None]  # (1, L, L)
-                full_bias = (mbias if full_bias is None
-                             else full_bias.astype(jnp.float32) + mbias)
-            out = attention_core(flat(q), flat(k), flat(v), full_bias,
-                                 self.fused_block,
+            out = attention_core(flat(q), flat(k), flat(v),
+                                 full_bias_of(bias, mask),
+                                 dropout_seed(rate), rate, self.fused_block,
                                  jax.default_backend() != "tpu")
             out = out.reshape(lead + (h, lq, hd))
         else:
@@ -179,6 +236,7 @@ class WindowAttention(nn.Module):
     dropout: float = 0.0
     rpe: bool = False
     fused: bool = False
+    fused_full: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -212,6 +270,7 @@ class WindowAttention(nn.Module):
 
         out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                  dtype=self.dtype, fused=self.fused,
+                                 fused_full=self.fused_full,
                                  name="attn")(
             qk_in, qk_in, vw, bias=bias, deterministic=deterministic)
         out = window_reverse(out, self.window, padded_hw)
@@ -234,6 +293,7 @@ class TemporalAttention(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     fused: bool = False
+    fused_full: bool = False
     sp: bool = False        # sequence parallel: shard the (H*W) column axis
                             # over the 'model' mesh axis (GSPMD inserts the
                             # collectives); alternative to head TP — do not
@@ -254,11 +314,16 @@ class TemporalAttention(nn.Module):
                 return y
             from jax.sharding import PartitionSpec as P
 
-            # (N, HW, T, C): token columns sharded over 'model'; the batch
-            # axis is left unconstrained so propagation keeps whatever the
-            # caller chose (and ragged eval batches stay legal)
+            # (N, HW, T, C): token columns sharded over 'model'. The batch
+            # axis must stay UNCONSTRAINED (keeps the caller's 'data'
+            # sharding): a None entry in a sharding constraint means
+            # "replicated" — round 1 shipped P(None, 'model', ...) and GSPMD
+            # dutifully all-gathered the data-sharded batch on every
+            # constraint ("involuntary full rematerialization" warnings,
+            # MULTICHIP_r01). An explicit 'data' would instead reject ragged
+            # eval batches (divisibility check).
             return jax.lax.with_sharding_constraint(
-                y, P(None, "model", None, None))
+                y, P(P.UNCONSTRAINED, "model", None, None))
 
         q_in = sp_shard(cols(x) + pos_q[None, None, :, :].astype(x.dtype))
         if kv is None:
@@ -275,6 +340,7 @@ class TemporalAttention(nn.Module):
 
         out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                  dtype=self.dtype, fused=self.fused,
+                                 fused_full=self.fused_full,
                                  name="attn")(
             q_in, k_in, v_in, mask=mask, deterministic=deterministic)
         return out.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
@@ -302,29 +368,6 @@ class LayerNormHWC(nn.Module):
         scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
         return (y * scale + bias).astype(self.dtype)
-
-
-def make_norm(kind: str, *, dtype, axis_name: Optional[str] = None,
-              name: Optional[str] = None, use_running_average=None):
-    """Norm factory for conv stacks on (..., H, W, C).
-
-    ``batch`` matches the reference's BatchNorm2d (momentum 0.1 torch ==
-    flax momentum 0.9); ``group``/``layer``/``instance`` are the TPU-friendly
-    swaps (documented divergence — see tests/test_autoencoder.py parity notes).
-    """
-    if kind == "batch":
-        return nn.BatchNorm(use_running_average=use_running_average,
-                            momentum=0.9, epsilon=1e-5, dtype=dtype,
-                            axis_name=axis_name, name=name)
-    if kind == "group":
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
-    if kind == "layer":
-        return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
-    if kind == "instance":
-        # InstanceNorm == GroupNorm with one group per channel.
-        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
-                            dtype=dtype, name=name)
-    raise ValueError(f"unknown norm kind {kind!r}")
 
 
 class MlpDWBN(nn.Module):

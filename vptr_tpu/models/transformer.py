@@ -57,6 +57,7 @@ class EncoderBlock(nn.Module):
     far: bool = False                  # causal temporal mask + LayerNorm conv-FFN
     rpe: bool = False
     fused_attention: bool = False
+    fused_full: bool = False           # fully-fused sublayer (projections in-kernel)
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
     dtype: Dtype = jnp.float32
@@ -74,7 +75,8 @@ class EncoderBlock(nn.Module):
         # 1) local-window spatial self-attention
         y = WindowAttention(self.dim, self.num_heads, self.window,
                             attn_drop, rpe=self.rpe,
-                            fused=self.fused_attention, dtype=self.dtype,
+                            fused=self.fused_attention,
+                            fused_full=self.fused_full, dtype=self.dtype,
                             name="slmhsa")(
             ln("norm1")(x), pos2d, deterministic=deterministic)
         x = x + dp(y, deterministic=deterministic)
@@ -89,6 +91,7 @@ class EncoderBlock(nn.Module):
         # 3) temporal attention per spatial location
         y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                               causal=self.far, fused=self.fused_attention,
+                              fused_full=self.fused_full,
                               sp=self.sequence_parallel,
                               dtype=self.dtype, name="temporal")(
             ln("norm3")(x), pos_t, deterministic=deterministic)
@@ -115,6 +118,7 @@ class DecoderBlockNAR(nn.Module):
     tslma: bool = False
     rpe: bool = False
     fused_attention: bool = False
+    fused_full: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
@@ -133,7 +137,8 @@ class DecoderBlockNAR(nn.Module):
         t2 = ln("norm1")(tgt)
         y = WindowAttention(self.dim, self.num_heads, self.window,
                             attn_drop, rpe=self.rpe,
-                            fused=self.fused_attention, dtype=self.dtype,
+                            fused=self.fused_attention,
+                            fused_full=self.fused_full, dtype=self.dtype,
                             name="slmhsa")(
             t2 + query_pos, pos2d, value=t2, deterministic=deterministic)
         tgt = tgt + dp(y, deterministic=deterministic)
@@ -149,6 +154,7 @@ class DecoderBlockNAR(nn.Module):
         # 3) temporal self-attention over the Tf query frames
         y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                               fused=self.fused_attention,
+                              fused_full=self.fused_full,
                               sp=self.sequence_parallel, dtype=self.dtype,
                               name="temporal")(
             ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
@@ -229,6 +235,7 @@ class _ScanEncoderBlock(nn.Module):
     rpe: bool
     fused_attention: bool
     remat: bool
+    fused_full: bool = False
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -241,9 +248,46 @@ class _ScanEncoderBlock(nn.Module):
                 self.drop_path, self.attn_dropout, self.ffn_hidden_ratio,
                 self.dim_feedforward, far=self.far, rpe=self.rpe,
                 fused_attention=self.fused_attention,
+                fused_full=self.fused_full,
                 sequence_parallel=self.sequence_parallel,
                 conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
                 name="block")(x, pos2d, pos_t, train, deterministic)
+        return y, None
+
+
+class _ScanDecoderBlockNAR(nn.Module):
+    """DecoderBlockNAR wrapped to the (carry, *broadcast) -> (carry, None)
+    shape nn.scan expects. Used by scan_layers=True NAR stacks."""
+
+    dim: int
+    num_heads: int
+    window: int
+    dropout: float
+    drop_path: float
+    attn_dropout: Optional[float]
+    ffn_hidden_ratio: int
+    dim_feedforward: int
+    tslma: bool
+    rpe: bool
+    fused_attention: bool
+    remat: bool
+    fused_full: bool = False
+    sequence_parallel: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, memory, pos2d, pos_t_future,
+                 pos_t_past, pos3d, train, deterministic):
+        cls = (nn.remat(DecoderBlockNAR, static_argnums=(8, 9))
+               if self.remat else DecoderBlockNAR)
+        y = cls(self.dim, self.num_heads, self.window, self.dropout,
+                self.drop_path, self.attn_dropout, self.ffn_hidden_ratio,
+                self.dim_feedforward, tslma=self.tslma, rpe=self.rpe,
+                fused_attention=self.fused_attention,
+                fused_full=self.fused_full,
+                sequence_parallel=self.sequence_parallel, dtype=self.dtype,
+                name="block")(tgt, query_pos, memory, pos2d, pos_t_future,
+                              pos_t_past, pos3d, train, deterministic)
         return y, None
 
 
@@ -269,6 +313,7 @@ class VPTRFormerFAR(nn.Module):
     ffn_hidden_ratio: int = 4
     rpe: bool = False
     fused_attention: bool = False
+    fused_full: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
     scan_layers: bool = False           # nn.scan the block stack: ~L-times
@@ -295,6 +340,7 @@ class VPTRFormerFAR(nn.Module):
                           dim_feedforward=self.ffn_hidden_ratio * self.d_model,
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
+                          fused_full=self.fused_full,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         x = feats
@@ -340,8 +386,12 @@ class VPTRFormerNAR(nn.Module):
     tslma: bool = False
     rpe: bool = True
     fused_attention: bool = False
+    fused_full: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
+    scan_layers: bool = False           # nn.scan both stacks: ~L-times
+                                        # smaller HLO / faster compiles;
+                                        # params stack to (L, ...) leaves
     conv_ffn_norm_enc: Optional[str] = None   # None -> batch (reference parity)
     dtype: Dtype = jnp.float32
 
@@ -349,23 +399,48 @@ class VPTRFormerNAR(nn.Module):
         block_args = dict(dim=self.d_model, num_heads=self.num_heads,
                           window=self.window, dropout=self.dropout,
                           drop_path=self.drop_path,
+                          attn_dropout=self.attn_dropout,
                           ffn_hidden_ratio=self.ffn_hidden_ratio,
                           dim_feedforward=self.ffn_hidden_ratio * self.d_model,
                           rpe=self.rpe,
                           fused_attention=self.fused_attention,
+                          fused_full=self.fused_full,
+                          sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
-        enc_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
-                   if self.remat else EncoderBlock)
-        dec_cls = (nn.remat(DecoderBlockNAR, static_argnums=(8, 9))
-                   if self.remat else DecoderBlockNAR)
-        self.enc_blocks = [
-            enc_cls(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
-                    name=f"enc_block{i}", **block_args)
-            for i in range(self.num_encoder_layers)]
+        if self.scan_layers:
+            # nn.scan over both stacks: one traced block per stack ->
+            # ~L-times smaller HLO / faster compiles; params stack to
+            # (L, ...) leaves (same trade as the FAR variant)
+            self.enc_stack = nn.scan(
+                _ScanEncoderBlock,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 4,
+                length=self.num_encoder_layers)(
+                remat=self.remat, far=False,
+                conv_ffn_norm=self.conv_ffn_norm_enc,
+                name="enc_blocks", **block_args)
+            self.dec_stack = nn.scan(
+                _ScanDecoderBlockNAR,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 8,
+                length=self.num_decoder_layers)(
+                remat=self.remat, tslma=self.tslma,
+                name="dec_blocks", **block_args)
+        else:
+            enc_cls = (nn.remat(EncoderBlock, static_argnums=(4, 5))
+                       if self.remat else EncoderBlock)
+            dec_cls = (nn.remat(DecoderBlockNAR, static_argnums=(8, 9))
+                       if self.remat else DecoderBlockNAR)
+            self.enc_blocks = [
+                enc_cls(far=False, conv_ffn_norm=self.conv_ffn_norm_enc,
+                        name=f"enc_block{i}", **block_args)
+                for i in range(self.num_encoder_layers)]
+            self.dec_blocks = [
+                dec_cls(tslma=self.tslma, name=f"dec_block{i}", **block_args)
+                for i in range(self.num_decoder_layers)]
         self.enc_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dec_blocks = [
-            dec_cls(tslma=self.tslma, name=f"dec_block{i}", **block_args)
-            for i in range(self.num_decoder_layers)]
         self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         # learned frame queries (reference: VPTR_modules.py:132)
         self.frame_queries = self.param(
@@ -395,8 +470,11 @@ class VPTRFormerNAR(nn.Module):
                                       self.d_model) if self.tslma else None
 
         x = past_feats
-        for block in self.enc_blocks:
-            x = block(x, pos2d, pos_t[:tp], train, deterministic)
+        if self.scan_layers:
+            x, _ = self.enc_stack(x, pos2d, pos_t[:tp], train, deterministic)
+        else:
+            for block in self.enc_blocks:
+                x = block(x, pos2d, pos_t[:tp], train, deterministic)
         memory = self.enc_norm(x)
 
         # queries broadcast over batch; target starts at zero
@@ -406,9 +484,15 @@ class VPTRFormerNAR(nn.Module):
             (n, tf_, self.enc_h, self.enc_w, self.d_model))
         tgt = jnp.zeros_like(query_pos)
 
-        for block in self.dec_blocks:
-            tgt = block(tgt, query_pos, memory, pos2d, pos_t[tp:tp + tf_],
-                        pos_t[:tp], pos3d, train, deterministic)
+        if self.scan_layers:
+            tgt, _ = self.dec_stack(tgt, query_pos, memory, pos2d,
+                                    pos_t[tp:tp + tf_], pos_t[:tp], pos3d,
+                                    train, deterministic)
+        else:
+            for block in self.dec_blocks:
+                tgt = block(tgt, query_pos, memory, pos2d,
+                            pos_t[tp:tp + tf_], pos_t[:tp], pos3d, train,
+                            deterministic)
         tgt = self.dec_norm(tgt)
         return nn.relu(tgt)
 
@@ -438,6 +522,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   attn_dropout=cfg.attention_dropout,
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
+                  fused_full=cfg.fused_full,
                   sequence_parallel=cfg.sequence_parallel,
                   remat=cfg.remat, dtype=dtype)
     if cfg.variant == "far":
@@ -448,5 +533,5 @@ def build_transformer(cfg, dtype=jnp.float32):
         return VPTRFormerNAR(num_encoder_layers=cfg.num_encoder_layers,
                              num_decoder_layers=cfg.num_decoder_layers,
                              tslma=cfg.tslma, conv_ffn_norm_enc=enc_norm,
-                             **common)
+                             scan_layers=cfg.scan_layers, **common)
     raise ValueError(f"unknown variant {cfg.variant!r}")

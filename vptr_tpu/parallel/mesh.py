@@ -28,15 +28,18 @@ MODEL_AXIS = "model"
 
 def make_mesh(data: int = -1, model: int = 1,
               devices=None) -> Mesh:
-    """Build a (data, model) mesh. ``data=-1`` consumes all remaining chips."""
+    """Build a (data, model) mesh. ``data=-1`` consumes all remaining chips;
+    an explicit ``data`` smaller than the device count uses the first
+    ``data * model`` devices (e.g. a single-device mesh on a multi-chip host).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, (
+        f"mesh {data}x{model} needs more than the {n} available devices")
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -187,7 +187,6 @@ def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
 
     def step(state: Stage2TrainState, past, future):
         rng, drop = jax.random.split(state.rng)
-        tf_ = future.shape[1]
         # teacher forcing: feed [past, future[:-1]], predict shift-by-one
         x = jnp.concatenate([past, future[:, :-1]], axis=1)
         gt_feats = enc.apply(state.enc.variables(), x, train=False)
@@ -221,9 +220,14 @@ def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
         d_metrics = {"Dtotal": 0.0, "Dfake": 0.0, "Dreal": 0.0}
         new_disc, new_d_opt = state.disc, state.d_opt
         if use_gan:
+            # D sees the FULL teacher-forced prediction (Tp+Tf-1 frames) as
+            # fake vs the Tf future frames as real, exactly as upstream
+            # (reference: train_FAR.py:72 — cal_lossD(Disc, pred_frames,
+            # future_frames); the per-frame PatchGAN never compares them
+            # pairwise, so the frame counts may differ)
             new_disc, new_d_opt, d_metrics = _disc_update(
                 disc, d_opt, state.disc, state.d_opt,
-                pred_frames[:, -tf_:], future, lam_gan, gan_mode)
+                pred_frames, future, lam_gan, gan_mode)
 
         def t_loss_fn(pred):
             l_mse = mse_loss(pred, target, weights=weights)

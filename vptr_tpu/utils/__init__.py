@@ -1,6 +1,5 @@
 from vptr_tpu.utils.misc import (  # noqa: F401
     AverageMeters,
-    StepTimer,
     count_params,
     set_seed,
     transformer_step_flops,

@@ -1,8 +1,7 @@
-"""Seeding, parameter counting, FLOPs estimation, timing."""
+"""Seeding, parameter counting, FLOPs estimation, loss meters."""
 
 from __future__ import annotations
 
-import time
 from typing import Any, Dict
 
 import jax
@@ -60,26 +59,6 @@ def transformer_step_flops(batch: int, t: int, h: int, w: int, dim: int,
     if backward:
         total *= 3
     return total
-
-
-class StepTimer:
-    """Wall-clock timing with warmup skip, for steps/sec + frames/sec."""
-
-    def __init__(self, skip: int = 2):
-        self.skip = skip
-        self.count = 0
-        self.start = None
-
-    def tick(self):
-        self.count += 1
-        if self.count == self.skip:
-            self.start = time.perf_counter()
-
-    @property
-    def steps_per_sec(self) -> float:
-        if self.start is None or self.count <= self.skip:
-            return 0.0
-        return (self.count - self.skip) / (time.perf_counter() - self.start)
 
 
 class AverageMeters:

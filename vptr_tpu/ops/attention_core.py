@@ -51,7 +51,10 @@ def _hash_uniform(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> 15)
     x = x * jnp.uint32(_MIX2)
     x = x ^ (x >> 16)
-    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # top-24-bit mantissa; via int32 (lossless, < 2^24) because Mosaic has
+    # no uint32 -> f32 cast
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(1.0 / (1 << 24))
 
 
 def _keep_mask(seed, batch_start, head, tb: int, t: int, num_heads: int,

@@ -15,6 +15,13 @@ input grads per batch tile plus weight/bias/bias-table grads accumulated
 across grid steps (the single grid axis revisits the same weight-grad block
 every step, so accumulation is race-free).
 
+Mosaic constraint that shapes this kernel: the (B*T, C) -> (B, T, H, hd)
+head-split reshape splits the LANE dimension and does not lower when
+hd < 128. Heads are therefore handled with a static per-head loop over
+unaligned lane slices (q[:, :, h*hd:(h+1)*hd] — supported), and the head
+merge is folded into the output projection as a sum of per-head
+(attn_h @ wo[h*hd:(h+1)*hd, :]) contributions.
+
 Dropout uses the same counter-based hash PRNG as
 ``vptr_tpu.ops.attention_core`` (`dropout_keep_mask` is the shared jnp test
 oracle): the keep decision is a pure function of (seed, batch, head, row,
@@ -41,18 +48,18 @@ from jax.experimental.pallas import tpu as pltpu
 from vptr_tpu.ops.attention_core import _hash_uniform
 
 
-def _keep_mask_heads_inner(seed, row_start, rows: int, t: int,
-                           rate: float) -> jnp.ndarray:
-    """(rows, T, T) keep mask where dim 0 enumerates (batch, head) pairs.
-
-    ``row_start`` = global_batch_start * num_heads; the element index matches
-    attention_core.dropout_keep_mask's ((b*H + h)*T + r)*T + c convention, so
-    that jnp twin doubles as this kernel's test oracle.
-    """
-    rh = jax.lax.broadcasted_iota(jnp.uint32, (rows, t, t), 0) + row_start
-    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, t, t), 1)
-    c = jax.lax.broadcasted_iota(jnp.uint32, (rows, t, t), 2)
-    idx = (rh * jnp.uint32(t) + r) * jnp.uint32(t) + c
+def _keep_mask_head(seed, i, h, tb: int, t: int, num_heads: int,
+                    rate: float) -> jnp.ndarray:
+    """(TB, T, T) keep mask for head ``h`` of batch tile ``i``. The element
+    index matches attention_core.dropout_keep_mask's
+    ((b*H + h)*T + r)*T + c convention, so that jnp twin doubles as this
+    kernel's test oracle."""
+    b = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 0) \
+        + jnp.uint32(i * tb)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 1)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 2)
+    idx = ((b * jnp.uint32(num_heads) + jnp.uint32(h)) * jnp.uint32(t) + r) \
+        * jnp.uint32(t) + c
     return _hash_uniform(idx, seed) >= jnp.float32(rate)
 
 
@@ -84,48 +91,39 @@ def _reference_attention(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias,
     return jnp.einsum("btc,cd->btd", out, wo) + bo
 
 
-def _recompute_to_weights(xqk, xv, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                          bv_ref, bias_ref, seed_ref, i, *, num_heads: int,
-                          tokens: int, tb: int, use_bias: bool, rate: float):
-    """Shared fwd/bwd body: projections -> per-head q/k/v -> softmax ->
-    dropout. Returns (qh, kh, vh, w f32 pre-dropout, w_drop compute-dtype,
-    keep-or-None)."""
-    c = xqk.shape[-1]
-    hd = c // num_heads
+def _proj(x2, w_ref, b_ref, tb, tokens, c):
+    y = jnp.dot(x2, w_ref[:], preferred_element_type=jnp.float32)
+    y = (y + b_ref[:].astype(jnp.float32)).astype(x2.dtype)
+    return y.reshape(tb, tokens, c)          # major-dim split: supported
 
-    def proj(x, w_ref, b_ref):
-        y = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
-        return (y + b_ref[:].astype(jnp.float32)).astype(x.dtype)
 
-    q = proj(xqk, wq_ref, bq_ref)
-    k = proj(xqk, wk_ref, bk_ref)
-    v = proj(xv, wv_ref, bv_ref)
+_BATCHED_QKT = (((2,), (2,)), ((0,), (0,)))   # (B,T,D)x(B,T,D) -> (B,T,T)
+_BATCHED_AV = (((2,), (1,)), ((0,), (0,)))    # (B,T,T)x(B,T,D) -> (B,T,D)
+_BATCHED_WTG = (((1,), (1,)), ((0,), (0,)))   # w^T g per batch
+_PLAIN_LAST = (((2,), (0,)), ((), ()))        # (B,T,D)x(D,C) -> (B,T,C)
 
-    def split(z):  # (TB*T, C) -> (TB*H, T, D) — Mosaic matmul allows only
-        # one batch dim, so windows and heads share it
-        z = z.reshape(tb, tokens, num_heads, hd).transpose(0, 2, 1, 3)
-        return z.reshape(tb * num_heads, tokens, hd)
 
-    qh, kh, vh = split(q), split(k), split(v)
+def _head_attention(q3, k3, v3, bias_ref, seed_ref, i, h, sl, *,
+                    use_bias: bool, rate: float, num_heads: int):
+    """One head's softmax(q k^T * scale + bias) with dropout; returns
+    (w f32 pre-dropout, w_drop compute-dtype, keep-or-None, qh, kh, vh)."""
+    tb, tokens = q3.shape[0], q3.shape[1]
+    hd = sl.stop - sl.start
+    qh, kh, vh = q3[:, :, sl], k3[:, :, sl], v3[:, :, sl]
     scale = hd ** -0.5
-    logits = jax.lax.dot_general(
-        qh * scale, kh,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # (TB*H, T, T)
+    logits = jax.lax.dot_general(qh * scale, kh, _BATCHED_QKT,
+                                 preferred_element_type=jnp.float32)
     if use_bias:
-        b = bias_ref[:].astype(jnp.float32)        # (H, T, T)
-        logits = (logits.reshape(tb, num_heads, tokens, tokens) + b[None]
-                  ).reshape(tb * num_heads, tokens, tokens)
-    w = jax.nn.softmax(logits, axis=-1)            # f32
+        logits = logits + bias_ref[h].astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
     keep = None
     if rate > 0.0:
-        keep = _keep_mask_heads_inner(
-            seed_ref[0].astype(jnp.uint32),
-            jnp.uint32(i * tb * num_heads), tb * num_heads, tokens, rate)
+        keep = _keep_mask_head(seed_ref[0].astype(jnp.uint32), i, h,
+                               tb, tokens, num_heads, rate)
         w_drop = jnp.where(keep, w / (1.0 - rate), 0.0)
     else:
         w_drop = w
-    return qh, kh, vh, w, w_drop.astype(xqk.dtype), keep
+    return w, w_drop.astype(q3.dtype), keep, qh, kh, vh
 
 
 def _kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
@@ -138,20 +136,26 @@ def _kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     xqk = xqk_ref[:].reshape(tb * tokens, c)
     xv = xv_ref[:].reshape(tb * tokens, c)
 
-    _, _, vh, _, w_drop, _ = _recompute_to_weights(
-        xqk, xv, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, bias_ref,
-        seed_ref, i, num_heads=num_heads, tokens=tokens, tb=tb,
-        use_bias=use_bias, rate=rate)
+    q3 = _proj(xqk, wq_ref, bq_ref, tb, tokens, c)
+    k3 = _proj(xqk, wk_ref, bk_ref, tb, tokens, c)
+    v3 = _proj(xv, wv_ref, bv_ref, tb, tokens, c)
 
-    out = jax.lax.dot_general(
-        w_drop, vh,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(xqk.dtype)  # (TB*H,T,D)
-    out = out.reshape(tb, num_heads, tokens, hd).transpose(0, 2, 1, 3)
-    out = out.reshape(tb * tokens, c)
-    y = jnp.dot(out, wo_ref[:], preferred_element_type=jnp.float32)
-    y = (y + bo_ref[:].astype(jnp.float32)).astype(xqk.dtype)
-    o_ref[:] = y.reshape(tb, tokens, c)
+    attn_parts = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        _, w_drop, _, _, _, vh = _head_attention(
+            q3, k3, v3, bias_ref, seed_ref, i, h, sl, use_bias=use_bias,
+            rate=rate, num_heads=num_heads)
+        attn_parts.append(jax.lax.dot_general(
+            w_drop, vh, _BATCHED_AV,
+            preferred_element_type=jnp.float32).astype(q3.dtype))
+    # merge heads on the lane axis, then one full-width out projection
+    # (per-head (TB,T,hd) x (hd,C) dots would flatten to a lane-16 reshape
+    # Mosaic cannot lower; the lane-128 merge + 2D GEMM can)
+    attn2 = jnp.concatenate(attn_parts, axis=-1).reshape(tb * tokens, c)
+    out = jnp.dot(attn2, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(tb, tokens, c)
 
 
 def _prep(bias, num_heads, tokens, seed):
@@ -163,6 +167,19 @@ def _prep(bias, num_heads, tokens, seed):
     bias = bias.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32).reshape(1)
     return bias, use_bias, seed
+
+
+def _specs(c, num_heads, tokens, tb):
+    mat = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec((c,), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+    seq = lambda: pl.BlockSpec((tb, tokens, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    bias = lambda: pl.BlockSpec((num_heads, tokens, tokens),
+                                lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return mat, vec, seq, bias
 
 
 def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
@@ -179,12 +196,7 @@ def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
         x_v = jnp.concatenate([x_v, zeros], axis=0)
     grid = (x_qk.shape[0] // tb,)
 
-    mat = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)
-    vec = lambda: pl.BlockSpec((c,), lambda i: (0,),
-                               memory_space=pltpu.VMEM)
-    seq = lambda: pl.BlockSpec((tb, tokens, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
+    mat, vec, seq, bias_spec = _specs(c, num_heads, tokens, tb)
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, tokens=tokens,
                           use_bias=use_bias, rate=rate),
@@ -194,8 +206,7 @@ def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seq(), seq(),
             mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec(),
-            pl.BlockSpec((num_heads, tokens, tokens), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec(),
         ],
         out_specs=seq(),
         interpret=interpret,
@@ -217,75 +228,74 @@ def _bwd_kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     hd = c // num_heads
     xqk = xqk_ref[:].reshape(tb * tokens, c)
     xv = xv_ref[:].reshape(tb * tokens, c)
-    g = g_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    g2 = g_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
 
-    qh, kh, vh, w, w_drop, keep = _recompute_to_weights(
-        xqk, xv, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, bias_ref,
-        seed_ref, i, num_heads=num_heads, tokens=tokens, tb=tb,
-        use_bias=use_bias, rate=rate)
-    scale = hd ** -0.5
+    q3 = _proj(xqk, wq_ref, bq_ref, tb, tokens, c)
+    k3 = _proj(xqk, wk_ref, bk_ref, tb, tokens, c)
+    v3 = _proj(xv, wv_ref, bv_ref, tb, tokens, c)
 
-    def split(z):  # (TB*T, C) -> (TB*H, T, D)
-        z = z.reshape(tb, tokens, num_heads, hd).transpose(0, 2, 1, 3)
-        return z.reshape(tb * num_heads, tokens, hd)
+    # dao = g @ wo^T, per-head slices consumed in the loop
+    dao3 = jax.lax.dot_general(
+        g2, wo_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ()))
+    ).reshape(tb, tokens, c)
 
-    def merge(z):  # (TB*H, T, D) -> (TB*T, C)
-        z = z.reshape(tb, num_heads, tokens, hd).transpose(0, 2, 1, 3)
-        return z.reshape(tb * tokens, c)
+    attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        w, w_drop, keep, qh, kh, vh = _head_attention(
+            q3, k3, v3, bias_ref, seed_ref, i, h, sl, use_bias=use_bias,
+            rate=rate, num_heads=num_heads)
+        attn_parts.append(jax.lax.dot_general(
+            w_drop, vh, _BATCHED_AV,
+            preferred_element_type=jnp.float32).astype(q3.dtype))
+        dao_h = dao3[:, :, sl]
+        wd32 = w_drop.astype(jnp.float32)
+        dv_parts.append(jax.lax.dot_general(wd32, dao_h, _BATCHED_WTG))
+        dwd = jax.lax.dot_general(dao_h, vh.astype(jnp.float32),
+                                  _BATCHED_QKT)            # (TB, T, T)
+        if rate > 0.0:
+            dw = jnp.where(keep, dwd / (1.0 - rate), 0.0)
+        else:
+            dw = dwd
+        # softmax backward on the PRE-dropout weights
+        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        scale = hd ** -0.5
+        dq_parts.append(jax.lax.dot_general(
+            dl, kh.astype(jnp.float32), _BATCHED_AV) * scale)
+        dk_parts.append(jax.lax.dot_general(
+            dl, (qh * scale).astype(jnp.float32), _BATCHED_WTG))
+        if use_bias:
+            dsum = jnp.sum(dl, axis=0)                      # (T, T)
 
-    # ---- out projection ----
-    ao = merge(jax.lax.dot_general(            # attn output pre-out-proj
-        w_drop, vh,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(xqk.dtype))
-    dwo = jnp.dot(ao.astype(jnp.float32).T, g,
-                  preferred_element_type=jnp.float32)            # (C, C)
-    dbo = jnp.sum(g, axis=0)                                      # (C,)
-    dao = jnp.dot(g, wo_ref[:].astype(jnp.float32).T,
-                  preferred_element_type=jnp.float32)            # (TB*T, C)
-    dao_h = split(dao.astype(xqk.dtype)).astype(jnp.float32)     # (TB*H,T,D)
+            @pl.when(i == 0)
+            def _():
+                dbias_ref[h] = dsum
 
-    # ---- attention ----
-    vf = vh.astype(jnp.float32)
-    dv_h = jax.lax.dot_general(                 # w_drop^T dao
-        w_drop.astype(jnp.float32), dao_h,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))))          # (TB*H,T,D)
-    dwd = jax.lax.dot_general(                  # dao v^T
-        dao_h, vf,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))))          # (TB*H,T,T)
-    if rate > 0.0:
-        dw = jnp.where(keep, dwd / (1.0 - rate), 0.0)
-    else:
-        dw = dwd
-    # softmax backward on the PRE-dropout weights
-    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))      # (TB*H,T,T)
-    dq_h = jax.lax.dot_general(
-        dl, kh.astype(jnp.float32),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale
-    dk_h = jax.lax.dot_general(
-        dl, (qh * scale).astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))))
+            @pl.when(i > 0)
+            def _():
+                dbias_ref[h] = dbias_ref[h] + dsum
 
-    # ---- projections ----
-    dq = merge(dq_h.astype(xqk.dtype)).astype(jnp.float32)       # (TB*T, C)
-    dk = merge(dk_h.astype(xqk.dtype)).astype(jnp.float32)
-    dv = merge(dv_h.astype(xqk.dtype)).astype(jnp.float32)
-    xqk_f = xqk.astype(jnp.float32)
-    xv_f = xv.astype(jnp.float32)
-    dwq = jnp.dot(xqk_f.T, dq, preferred_element_type=jnp.float32)
-    dwk = jnp.dot(xqk_f.T, dk, preferred_element_type=jnp.float32)
-    dwv = jnp.dot(xv_f.T, dv, preferred_element_type=jnp.float32)
-    dbq = jnp.sum(dq, axis=0)
-    dbk = jnp.sum(dk, axis=0)
-    dbv = jnp.sum(dv, axis=0)
-    dxqk = (jnp.dot(dq, wq_ref[:].astype(jnp.float32).T)
-            + jnp.dot(dk, wk_ref[:].astype(jnp.float32).T))
-    dxv = jnp.dot(dv, wv_ref[:].astype(jnp.float32).T)
+    merge = lambda parts: jnp.concatenate(parts, axis=-1).reshape(
+        tb * tokens, c)
+    attn2 = merge(attn_parts).astype(jnp.float32)
+    dq2, dk2, dv2 = merge(dq_parts), merge(dk_parts), merge(dv_parts)
+
+    contract0 = (((0,), (0,)), ((), ()))       # a^T b over the row axis
+    dwq = jax.lax.dot_general(xqk.astype(jnp.float32), dq2, contract0)
+    dwk = jax.lax.dot_general(xqk.astype(jnp.float32), dk2, contract0)
+    dwv = jax.lax.dot_general(xv.astype(jnp.float32), dv2, contract0)
+    dwo = jax.lax.dot_general(attn2, g2, contract0)
+    dbq, dbk, dbv = (jnp.sum(z, axis=0) for z in (dq2, dk2, dv2))
+    dbo = jnp.sum(g2, axis=0)
+    dxqk = (jax.lax.dot_general(dq2, wq_ref[:].astype(jnp.float32),
+                                (((1,), (1,)), ((), ())))
+            + jax.lax.dot_general(dk2, wk_ref[:].astype(jnp.float32),
+                                  (((1,), (1,)), ((), ()))))
+    dxv = jax.lax.dot_general(dv2, wv_ref[:].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())))
 
     dxqk_ref[:] = dxqk.astype(dxqk_ref.dtype).reshape(tb, tokens, c)
     dxv_ref[:] = dxv.astype(dxv_ref.dtype).reshape(tb, tokens, c)
-
-    dsum = jnp.sum(dl.reshape(tb, num_heads, tokens, tokens), axis=0)
 
     @pl.when(i == 0)
     def _():
@@ -297,7 +307,8 @@ def _bwd_kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dbv_ref[:] = dbv
         dwo_ref[:] = dwo
         dbo_ref[:] = dbo
-        dbias_ref[:] = dsum if use_bias else jnp.zeros_like(dbias_ref)
+        if not use_bias:
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     @pl.when(i > 0)
     def _():
@@ -309,8 +320,6 @@ def _bwd_kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dbv_ref[:] = dbv_ref[:] + dbv
         dwo_ref[:] = dwo_ref[:] + dwo
         dbo_ref[:] = dbo_ref[:] + dbo
-        if use_bias:
-            dbias_ref[:] = dbias_ref[:] + dsum
 
 
 def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
@@ -328,15 +337,7 @@ def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
         g = jnp.concatenate([g, jnp.zeros((pad, tokens, c), g.dtype)], axis=0)
     grid = (x_qk.shape[0] // tb,)
 
-    mat = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)
-    vec = lambda: pl.BlockSpec((c,), lambda i: (0,),
-                               memory_space=pltpu.VMEM)
-    seq = lambda: pl.BlockSpec((tb, tokens, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-    bias_spec = lambda: pl.BlockSpec((num_heads, tokens, tokens),
-                                     lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM)
+    mat, vec, seq, bias_spec = _specs(c, num_heads, tokens, tb)
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads=num_heads, tokens=tokens,
@@ -384,17 +385,19 @@ def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
     return grads + (dbias_out,)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def fused_attention(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed=0,
                     num_heads: int = 8, dropout_rate: float = 0.0,
-                    block_windows: int = 64, interpret: bool = False):
+                    block_windows: int = 64, interpret: bool = False,
+                    block_windows_bwd: int = 32):
     """Fused short-sequence attention sublayer over (B, tokens, C).
 
     ``bias``: optional (heads | 1, tokens, tokens) additive logit bias —
     carries the RPE table and/or a causal mask (-1e30 upper triangle).
     ``seed``: int32 scalar for attention-weight dropout when
     ``dropout_rate > 0``. Fully differentiable; the backward is a fused
-    Pallas kernel producing input, weight, and bias grads.
+    Pallas kernel producing input, weight, and bias grads (smaller default
+    tile: it holds ~3x the forward's VMEM working set).
     """
     return _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias,
                           seed, num_heads, dropout_rate, block_windows,
@@ -402,16 +405,17 @@ def fused_attention(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed=0,
 
 
 def _fwd(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, num_heads,
-         rate, block_windows, interpret):
+         rate, block_windows, interpret, block_windows_bwd):
     out = _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias,
                          seed, num_heads, rate, block_windows, interpret)
     return out, (x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed)
 
 
-def _bwd(num_heads, rate, block_windows, interpret, residuals, g):
+def _bwd(num_heads, rate, block_windows, interpret, block_windows_bwd,
+         residuals, g):
     x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed = residuals
     grads = _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias,
-                            seed, g, num_heads, rate, block_windows,
+                            seed, g, num_heads, rate, block_windows_bwd,
                             interpret)
     dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
     return grads + (dseed,)

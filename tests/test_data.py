@@ -100,3 +100,81 @@ def test_build_dataset_synthetic_fallback():
     loader = build_loader(cfg, split="val")
     past, future = next(iter(loader))
     assert past.shape[1:] == (10, 64, 64, 1)
+
+
+# ---------------------------------------------------------------------------
+# person-run filter + clip video export (reference: pre_processing.py:118-176,
+# dataset.py:270-288)
+# ---------------------------------------------------------------------------
+
+def test_person_run_filter_runs():
+    from vptr_tpu.data.preprocessing import person_run_filter
+
+    present = [False] * 3 + [True] * 25 + [False] * 2 + [True] * 19 \
+        + [False] + [True] * 20
+    runs = person_run_filter(present, min_run=20)
+    # 25-run kept, 19-run dropped, trailing 20-run kept (no False after it)
+    assert [len(r) for r in runs] == [25, 20]
+    assert runs[0] == list(range(3, 28))
+    assert runs[1][0] == 50
+
+
+def test_human_detector_with_custom_detector(tmp_path):
+    """Detector-agnostic: a toy 'person = bright frame' detector must produce
+    the reference's *_no_empty_<idx> folder layout."""
+    from PIL import Image
+
+    from vptr_tpu.data.preprocessing import human_detector
+
+    src = tmp_path / "frames" / "person01_boxing_d1"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    # 30 frames: 5 dark, 22 bright, 3 dark
+    for i in range(30):
+        bright = 5 <= i < 27
+        img = (rng.random((16, 16, 3)) * (200 if bright else 20)
+               ).astype(np.uint8)
+        Image.fromarray(img).save(src / f"{i:04d}.png")
+
+    out = tmp_path / "filtered"
+    written = human_detector(str(tmp_path / "frames"), str(out),
+                             detector=lambda img: img.mean() > 50,
+                             min_run=20)
+    assert written == {"person01_boxing_d1": 1}
+    run_dir = out / "person01_boxing_d1_no_empty_0"
+    assert len(list(run_dir.iterdir())) == 22
+
+
+def test_mjpeg_avi_writer_roundtrip(tmp_path):
+    """The from-scratch RIFF muxer must produce a well-formed MJPEG AVI whose
+    frame chunks decode back (JPEG) to approximately the input frames."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from vptr_tpu.data.preprocessing import visualize_clip
+
+    t, h, w = 4, 32, 32
+    clip = np.linspace(0, 1, t * h * w, dtype=np.float32).reshape(t, h, w, 1)
+    path = visualize_clip(clip, str(tmp_path / "clip.mp4"), fps=10)
+    data = open(path, "rb").read()
+
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert b"MJPG" in data and b"idx1" in data
+
+    # walk the movi list, decode each 00dc JPEG chunk
+    movi = data.index(b"movi")
+    assert data[movi - 8:movi - 4] == b"LIST"
+    pos = movi + 4
+    frames = []
+    while data[pos:pos + 4] == b"00dc":
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        jpeg = data[pos + 8:pos + 8 + size]
+        frames.append(np.asarray(Image.open(io.BytesIO(jpeg))))
+        pos += 8 + size + (size % 2)
+    assert len(frames) == t
+    want = np.repeat((clip * 255).astype(np.uint8), 3, axis=-1)
+    err = np.abs(frames[0].astype(float) - want[0].astype(float)).mean()
+    assert err < 8.0, f"jpeg roundtrip error {err}"

@@ -50,6 +50,15 @@ class ClipDataset:
         clip = self.transform(np.stack(frames), rng)
         return clip[:self.num_past], clip[-self.num_future:]
 
+    def visualize_clip(self, clip: np.ndarray, file_name: str,
+                       fps: int = 10) -> str:
+        """Save a (T, H, W, C) clip as a video file (reference:
+        utils/dataset.py:270-288). Returns the path written (MJPEG .avi when
+        no ffmpeg exists — see data.preprocessing.visualize_clip)."""
+        from vptr_tpu.data.preprocessing import visualize_clip
+
+        return visualize_clip(clip, file_name, fps=fps)
+
 
 def chop_clips(folder: Path, clip_length: int) -> List[List[Path]]:
     """Chop a frame folder into non-overlapping clips, centering the kept

@@ -34,8 +34,11 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--quick", action="store_true",
                         help="tiny config for CI/CPU smoke")
-    parser.add_argument("--fused", action="store_true",
-                        help="use the Pallas fused attention sublayers")
+    parser.add_argument("--attention", default="core",
+                        choices=["unfused", "core", "full"],
+                        help="attention path; default = fastest measured "
+                             "(Pallas fused core, in-kernel dropout — full "
+                             "reference-parity semantics)")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 
@@ -47,10 +50,11 @@ def main():
 
     overrides = {"dtype": args.dtype,
                  "data": {"batch_size": args.batch},
-                 # fused path requires inactive attention-weight dropout
-                 "transformer": {"fused_attention": args.fused,
-                                 "attention_dropout":
-                                     0.0 if args.fused else None}}
+                 # dropout stays ACTIVE in all modes: the fused kernels run
+                 # attention-weight dropout in-kernel (parity semantics)
+                 "transformer": {
+                     "fused_attention": args.attention != "unfused",
+                     "fused_full": args.attention == "full"}}
     if args.quick:
         overrides.update({
             "ae": {"feat_dim": 24, "n_res_blocks": 1},

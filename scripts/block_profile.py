@@ -78,6 +78,30 @@ def main():
     bench("LayerNormHWC(hidden)", jax.jit(lambda v, h: ln.apply(v, h)),
           lnv, h)
 
+    # conv-FFN stage breakdown: is the depthwise 3x3 layout-bound?
+    from flax import linen as nn
+
+    hid = 4 * d
+    x2 = jnp.asarray(np.random.rand(190, 8, 8, d), dtype)
+    fc1 = nn.Conv(hid, (1, 1), dtype=dtype)
+    v1 = fc1.init(rng, x2)
+    bench("MlpDWBN/fc1 1x1", jax.jit(lambda v, x: fc1.apply(v, x)), v1, x2)
+    dw = nn.Conv(hid, (3, 3), padding=1, feature_group_count=hid, dtype=dtype)
+    vdw = dw.init(rng, h)
+    bench("MlpDWBN/dw3x3", jax.jit(lambda v, x: dw.apply(v, x)), vdw, h)
+    # layout probe (NOT semantically equivalent — padding crosses frame
+    # boundaries): same element count with 19 frames stacked into H, to see
+    # whether many tiny 8x8 images vs fewer taller ones changes throughput
+    h_tall = h.reshape(10, 152, 8, hid)
+    dw2 = nn.Conv(hid, (3, 3), padding=1, feature_group_count=hid,
+                  dtype=dtype)
+    vdw2 = dw2.init(rng, h_tall)
+    bench("dw3x3 (folded 152x8)", jax.jit(lambda v, x: dw2.apply(v, x)),
+          vdw2, h_tall)
+    fc2 = nn.Conv(d, (1, 1), dtype=dtype)
+    v2 = fc2.init(rng, h)
+    bench("MlpDWBN/fc2 1x1", jax.jit(lambda v, x: fc2.apply(v, x)), v2, h)
+
 
 if __name__ == "__main__":
     main()

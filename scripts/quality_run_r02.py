@@ -1,0 +1,77 @@
+"""Round-2 quality evidence runs: far_mnist / nar_mnist at ~20% of the
+reference recipe's optimization steps (reference: train_FAR.py:154-197 /
+train_NAR.py:160-216 — 100 epochs over 10k-clip MovingMNIST ~= 100k steps at
+batch 10). Real MovingMNIST cannot exist here (zero egress), so the runs use
+the deterministic synthetic clip generator at the same geometry; RESULTS_r02
+states exactly what parity claim this does and does not support.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_run_r02.py \
+        --stage far --steps 20000 --out results_r02
+
+Writes <out>/<stage>_history.json (train/val loss curves) and
+<out>/<stage>_eval.json (per-timestep PSNR/SSIM/MSE curves for every
+applicable rollout mode, including FAR-RIL).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=["far", "nar"], required=True)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--out", default="results_r02")
+    p.add_argument("--ckpt-dir", default="/tmp/quality_r02")
+    p.add_argument("--eval-batches", type=int, default=8)
+    args = p.parse_args()
+
+    from vptr_tpu.config import get_preset
+    from vptr_tpu.data.loader import build_loader
+    from vptr_tpu.eval.harness import evaluate
+    from vptr_tpu.train.trainer import Trainer
+
+    preset = "far_mnist" if args.stage == "far" else "nar_mnist"
+    cfg = get_preset(preset).override({
+        "dtype": "bfloat16",
+        "ckpt_dir": f"{args.ckpt_dir}/{args.stage}",
+        "ckpt_keep": 1,
+        "val_per_epochs": 4,
+        "transformer": {"fused_attention": True},
+    })
+    steps_per_epoch = 4096 // cfg.data.batch_size
+    epochs = max(1, args.steps // steps_per_epoch)
+    trainer = Trainer(cfg)
+    state = trainer.train(epochs=epochs)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"{args.stage}_history.json").write_text(
+        json.dumps(trainer.history, indent=1))
+
+    # per-timestep metric curves for every applicable rollout mode,
+    # including the FAR-RIL row round 1 left out (VERDICT weak #8)
+    modes = ["far", "far_rip", "far_ril"] if args.stage == "far" else ["nar"]
+    loader = build_loader(cfg.data, split="test", seed=cfg.seed)
+    results = {"preset": preset, "epochs": epochs,
+               "steps_per_epoch": steps_per_epoch,
+               "data": "synthetic (deterministic generator; real "
+                       "MovingMNIST unavailable in this environment)"}
+    for mode in modes:
+        curves = evaluate(trainer, state, loader, mode=mode, num_pred=10,
+                          max_batches=args.eval_batches)
+        results[mode] = {m: [round(float(v), 4) for v in c]
+                         for m, c in curves.items()}
+        print(mode, {m: round(float(np.mean(c)), 4)
+                     for m, c in results[mode].items()}, flush=True)
+    (out / f"{args.stage}_eval.json").write_text(json.dumps(results, indent=1))
+    print("wrote", out / f"{args.stage}_eval.json")
+
+
+if __name__ == "__main__":
+    main()

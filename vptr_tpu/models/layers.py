@@ -124,6 +124,10 @@ class MultiHeadAttention(nn.Module):
     fused: bool = False
     fused_full: bool = False   # whole-sublayer kernel (projections included)
     fused_block: int = 64
+    fused_full_blocks: tuple = (32, 16)   # (fwd, bwd) batch tiles for the
+                               # projection-fused kernel — its bwd holds ~3x
+                               # the fwd working set; 64/32 overflows VMEM at
+                               # d_model 528 and stalls the Mosaic compile
     remat_core: bool = False   # measured neutral on v5e at batch 10; saves
                                # HBM at larger batch (padded logit residuals)
 
@@ -165,8 +169,8 @@ class MultiHeadAttention(nn.Module):
             out = fused_attention(
                 flat(q_in), flat(v_in), wq, bq, wk, bk, wv, bv, wo, bo,
                 full_bias_of(bias, mask), dropout_seed(rate),
-                self.num_heads, rate, self.fused_block,
-                jax.default_backend() != "tpu")
+                self.num_heads, rate, self.fused_full_blocks[0],
+                jax.default_backend() != "tpu", self.fused_full_blocks[1])
             return out.reshape(lead + (l, self.dim))
 
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,

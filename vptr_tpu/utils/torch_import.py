@@ -301,3 +301,28 @@ def import_reference_checkpoint(path: str, map_location: str = "cpu") -> dict:
         # unknown modules (e.g. the PatchGAN disc) are skipped: stage-2
         # inference and eval only need Enc/Dec/Transformer
     return out
+
+
+def state_with_reference_weights(state, converted: dict):
+    """Return a train state with module weights replaced by the output of
+    :func:`import_reference_checkpoint` (keys VPTR_Enc / VPTR_Dec /
+    VPTR_Transformer). Missing modules keep their current weights; shapes
+    must match the configured geometry (the flax apply will assert)."""
+    import jax.numpy as jnp
+
+    from vptr_tpu.train.state import ModuleState
+
+    def to_module_state(variables):
+        import jax
+
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        return ModuleState(params=variables["params"],
+                           stats=variables.get("batch_stats", {}))
+
+    updates = {}
+    for name, variables in converted.items():
+        key = {"VPTR_Enc": "enc", "VPTR_Dec": "dec",
+               "VPTR_Transformer": "transformer"}.get(name)
+        if key is not None and hasattr(state, key):
+            updates[key] = to_module_state(variables)
+    return state.replace(**updates)

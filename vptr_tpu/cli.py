@@ -103,6 +103,48 @@ def cmd_eval(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_predict(args):
+    """Generate future-frame predictions from a checkpoint and write
+    side-by-side GIFs + video clips (the reference's Test_VPTR.ipynb
+    cells 5-11 as a command)."""
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+
+    from vptr_tpu.data.loader import build_loader
+    from vptr_tpu.data.preprocessing import visualize_clip
+    from vptr_tpu.eval.harness import make_predict_fn
+    from vptr_tpu.train.summary import visualize_batch_clips
+    from vptr_tpu.train.trainer import Trainer
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if trainer.ckpt is not None and trainer.ckpt.latest_step() is not None:
+        state = trainer.ckpt.restore(state)
+    num_pred = args.num_pred or cfg.data.test_future_frames
+    predict = make_predict_fn(trainer, state, args.mode, num_pred)
+    loader = build_loader(cfg.data, split="test", seed=cfg.seed)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    for bi, (past, future) in enumerate(loader):
+        if bi >= args.batches:
+            break
+        pred = np.asarray(
+            jax.device_get(predict(*trainer.put_batch(past, future))),
+            np.float32)
+        visualize_batch_clips(past, future[:, :num_pred],
+                              pred[:, :num_pred], str(out / f"batch{bi}"),
+                              renorm=trainer.renorm, desc=args.mode)
+        for n in range(min(2, pred.shape[0])):
+            clip = np.clip(trainer.renorm(pred[n, :num_pred]), 0.0, 1.0)
+            path = visualize_clip(clip, str(out / f"b{bi}_s{n}_pred.mp4"))
+            print("wrote", path)
+    print("predictions in", out)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="vptr_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -131,6 +173,15 @@ def main(argv=None):
     p_eval.add_argument("--no-lpips", action="store_true",
                         help="skip LPIPS even when weights are available")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_pred = sub.add_parser("predict")
+    common(p_pred)
+    p_pred.add_argument("--mode", default="far_rip",
+                        choices=["far", "far_rip", "far_ril", "nar"])
+    p_pred.add_argument("--num-pred", type=int, default=None)
+    p_pred.add_argument("--batches", type=int, default=1)
+    p_pred.add_argument("--out", default="predictions")
+    p_pred.set_defaults(fn=cmd_predict)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -152,8 +152,16 @@ class MultiHeadAttention(nn.Module):
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
 
+        # the projection-fused kernel merges (tiles, tokens, C) -> 2D for its
+        # full-width GEMMs; Mosaic can only lower that shape cast when the
+        # token count is a sublane-tile multiple (bf16: 16, f32: 8). Window
+        # attention (win^2 = 16 tokens) qualifies; the T=19 temporal
+        # attention falls back to the attention-core kernel below.
+        sublane = 16 if self.dtype == jnp.bfloat16 else 8
         use_full = (self.fused and self.fused_full and q_in is k_in and
-                    v_in.shape == q_in.shape and q_in.shape[-1] == self.dim)
+                    v_in.shape == q_in.shape and
+                    q_in.shape[-1] == self.dim and
+                    q_in.shape[-2] % sublane == 0)
         if use_full:
             from vptr_tpu.ops.fused_window_attention import fused_attention
 

@@ -443,3 +443,58 @@ def test_nar_matches_torch():
     got_nce = np.asarray(model.apply(
         variables, jnp.asarray(got), method=model.nce_project))
     np.testing.assert_allclose(got_nce, want_nce, atol=2e-3, rtol=2e-4)
+
+
+def test_reference_checkpoint_file_roundtrip(tmp_path):
+    """Full file-level path: save a reference-format epoch_N.tar
+    (utils/train_summary.py:143-149 layout), auto-detect geometry + convert
+    every module via import_reference_checkpoint, and match the torch
+    forwards."""
+    from vptr_tpu.models.autoencoder import ResnetEncoder
+    from vptr_tpu.utils.torch_import import import_reference_checkpoint
+
+    dim, heads, layers = 48, 8, 2
+    tenc = TorchVPTREnc(feat_dim=dim, n_res=2).eval()
+    tfar = TorchFAR(layers, dim, heads, 4, 8, 8).eval()
+    _randomize_bn(tenc)
+    path = tmp_path / "epoch_3.tar"
+    torch.save({
+        "epoch": 3, "loss_dict": {},
+        "Module_state_dict": {"VPTR_Enc": tenc.state_dict(),
+                              "VPTR_Transformer": tfar.state_dict()},
+        "optimizer_state_dict": {}, "code": {},
+    }, str(path))
+
+    converted = import_reference_checkpoint(str(path))
+    assert set(converted) == {"VPTR_Enc", "VPTR_Transformer"}
+
+    # encoder forward parity (geometry auto-detected: 3 downs, 2 res blocks)
+    x = RNG.normal(size=(2, 64, 64, 1)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want_feat = tenc(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    enc_vars = jax.tree_util.tree_map(jnp.asarray, converted["VPTR_Enc"])
+    renc = ResnetEncoder(feat_dim=dim, n_downsampling=3, n_res_blocks=2)
+    got = renc.apply(
+        {"params": enc_vars["params"]["encoder"],
+         "batch_stats": enc_vars["batch_stats"]["encoder"]},
+        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), want_feat.transpose(0, 2, 3, 1),
+        atol=2e-3, rtol=2e-4)
+
+    # transformer forward parity (layer count / rpe auto-detected)
+    lw_pos = torch.tensor(np.asarray(
+        position_embedding_2d(4, 4, dim), np.float32))
+    temporal_pos = torch.tensor(np.asarray(
+        position_embedding_1d(4, dim), np.float32))
+    f = RNG.normal(size=(1, 3, 8, 8, dim)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tfar(torch.tensor(f), lw_pos, temporal_pos[:3]).numpy()
+    model = VPTRFormerFAR(num_past_frames=2, num_future_frames=2,
+                          d_model=dim, num_heads=heads, window=4,
+                          num_encoder_layers=layers, dropout=0.0,
+                          drop_path=0.0, rpe=False)
+    variables = jax.tree_util.tree_map(jnp.asarray,
+                                       converted["VPTR_Transformer"])
+    got = np.asarray(model.apply(variables, jnp.asarray(f), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-4)

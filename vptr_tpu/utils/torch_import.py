@@ -282,19 +282,32 @@ def import_reference_checkpoint(path: str, map_location: str = "cpu") -> dict:
     for name, sd in modules.items():
         sd = {k.removeprefix("module."): v.numpy() for k, v in sd.items()}
         if any(k.startswith("encoder.model") for k in sd):
-            out[name] = import_vptr_enc(sd)
+            # detect geometry from the Sequential indices: res blocks carry
+            # a .conv_block. segment; downsampling convs precede them
+            res_idx = sorted({int(k.split(".")[2]) for k in sd
+                              if ".conv_block." in k})
+            # layout: pad,stem,bn,relu then 3 entries per downsampling, so
+            # the first res block sits at index 3*n_down + 4
+            n_res = len(res_idx)
+            n_down = (res_idx[0] - 4) // 3 if res_idx else 3
+            out[name] = import_vptr_enc(sd, n_downsampling=n_down,
+                                        n_res_blocks=n_res)
         elif any(k.startswith("decoder.model") for k in sd):
-            out[name] = import_vptr_dec(sd)
+            # ConvTranspose+BN pairs sit at indices (0,1), (3,4), ...
+            idxs = sorted({int(k.split(".")[2]) for k in sd
+                           if k.startswith("decoder.model")})
+            n_down = sum(1 for i in idxs if i % 3 == 0 and i + 1 in idxs)
+            out[name] = import_vptr_dec(sd, n_downsampling=n_down)
         elif any(k.startswith("transformer.decoder") for k in sd):
-            n_enc = 1 + max(int(k.split(".")[2])
+            n_enc = 1 + max(int(k.split(".")[3])
                             for k in sd if k.startswith("transformer.encoder.layers"))
-            n_dec = 1 + max(int(k.split(".")[2])
+            n_dec = 1 + max(int(k.split(".")[3])
                             for k in sd if k.startswith("transformer.decoder.layers"))
             rpe = any("relative_position_bias_table" in k for k in sd)
             tslma = any(".TSLMA." in k for k in sd)
             out[name] = import_nar_transformer(sd, n_enc, n_dec, rpe, tslma)
         elif any(k.startswith("transformer.encoder") for k in sd):
-            n_enc = 1 + max(int(k.split(".")[2])
+            n_enc = 1 + max(int(k.split(".")[3])
                             for k in sd if k.startswith("transformer.encoder.layers"))
             rpe = any("relative_position_bias_table" in k for k in sd)
             out[name] = import_far_transformer(sd, n_enc, rpe)

@@ -24,13 +24,17 @@ from vptr_tpu.models.transformer import EncoderBlock
 
 
 def bench(name, fn, variables, *args, n=20):
-    out = fn(variables, *args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(n):
+    try:
         out = fn(variables, *args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-    print(f"{name:24s}: {(time.perf_counter()-t0)/n*1000:.2f} ms")
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(variables, *args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        print(f"{name:24s}: {(time.perf_counter()-t0)/n*1000:.2f} ms",
+              flush=True)
+    except Exception as e:
+        print(f"{name:24s}: FAILED {repr(e)[:160]}", flush=True)
 
 
 def main():

@@ -1,9 +1,14 @@
-"""Round-2 quality evidence runs: far_mnist / nar_mnist at ~20% of the
-reference recipe's optimization steps (reference: train_FAR.py:154-197 /
-train_NAR.py:160-216 — 100 epochs over 10k-clip MovingMNIST ~= 100k steps at
-batch 10). Real MovingMNIST cannot exist here (zero egress), so the runs use
-the deterministic synthetic clip generator at the same geometry; RESULTS_r02
-states exactly what parity claim this does and does not support.
+"""Round-2 quality evidence runs: the full two-stage pipeline at ~20% of the
+reference recipe's optimization steps (reference: train_AutoEncoder.py +
+train_FAR.py:154-197 / train_NAR.py:160-216 — 100 epochs over 10k-clip
+MovingMNIST ~= 100k stage-2 steps at batch 10). Real MovingMNIST cannot
+exist here (zero egress), so the runs use the deterministic synthetic clip
+generator at the same geometry; RESULTS_r02 states exactly what parity claim
+this does and does not support.
+
+Stage 1 (shared conv AE + PatchGAN) trains first — or is reused from a
+previous invocation's checkpoint — and stage 2 loads it frozen via
+``ae_ckpt``, exactly like the reference pipeline.
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_run_r02.py \
         --stage far --steps 20000 --out results_r02
@@ -22,10 +27,38 @@ from pathlib import Path
 import numpy as np
 
 
+def ensure_ae(ckpt_root: str, ae_epochs: int, out: Path) -> str:
+    """Train (or resume) the shared stage-1 AE; returns its ckpt directory."""
+    from vptr_tpu.config import get_preset
+    from vptr_tpu.train.checkpoint import CheckpointManager
+    from vptr_tpu.train.trainer import Trainer
+
+    ae_dir = f"{ckpt_root}/ae"
+    cfg = get_preset("ae_mnist").override({
+        "dtype": "bfloat16", "ckpt_dir": ae_dir, "ckpt_keep": 1,
+        "val_per_epochs": 4,
+    })
+    mgr_dir = str(Path(ae_dir) / "ckpt")
+    done_epochs = 0
+    try:
+        mgr = CheckpointManager(mgr_dir)
+        hist = mgr.load_history()
+        done_epochs = int(hist.get("epoch", 0))
+    except Exception:
+        pass
+    if done_epochs < ae_epochs:
+        trainer = Trainer(cfg)
+        trainer.train(epochs=ae_epochs - done_epochs)
+        (out / "ae_history.json").write_text(
+            json.dumps(trainer.history, indent=1))
+    return mgr_dir
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=["far", "nar"], required=True)
     p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--ae-epochs", type=int, default=10)
     p.add_argument("--out", default="results_r02")
     p.add_argument("--ckpt-dir", default="/tmp/quality_r02")
     p.add_argument("--eval-batches", type=int, default=8)
@@ -36,12 +69,20 @@ def main():
     from vptr_tpu.eval.harness import evaluate
     from vptr_tpu.train.trainer import Trainer
 
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # ---- stage 1: shared frozen AE (reference: train_AutoEncoder.py) ----
+    ae_ckpt = ensure_ae(args.ckpt_dir, args.ae_epochs, out)
+
+    # ---- stage 2 ----
     preset = "far_mnist" if args.stage == "far" else "nar_mnist"
     cfg = get_preset(preset).override({
         "dtype": "bfloat16",
         "ckpt_dir": f"{args.ckpt_dir}/{args.stage}",
         "ckpt_keep": 1,
         "val_per_epochs": 4,
+        "ae_ckpt": ae_ckpt,
         "transformer": {"fused_attention": True},
     })
     steps_per_epoch = 4096 // cfg.data.batch_size
@@ -49,8 +90,6 @@ def main():
     trainer = Trainer(cfg)
     state = trainer.train(epochs=epochs)
 
-    out = Path(args.out)
-    out.mkdir(parents=True, exist_ok=True)
     (out / f"{args.stage}_history.json").write_text(
         json.dumps(trainer.history, indent=1))
 
@@ -60,6 +99,7 @@ def main():
     loader = build_loader(cfg.data, split="test", seed=cfg.seed)
     results = {"preset": preset, "epochs": epochs,
                "steps_per_epoch": steps_per_epoch,
+               "ae_epochs": args.ae_epochs,
                "data": "synthetic (deterministic generator; real "
                        "MovingMNIST unavailable in this environment)"}
     for mode in modes:

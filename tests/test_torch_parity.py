@@ -21,12 +21,9 @@ vptr_tpu.models.position (their formula parity vs the reference has its own
 test, tests/test_position.py).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F

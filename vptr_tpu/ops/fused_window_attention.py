@@ -15,12 +15,14 @@ input grads per batch tile plus weight/bias/bias-table grads accumulated
 across grid steps (the single grid axis revisits the same weight-grad block
 every step, so accumulation is race-free).
 
-Mosaic constraint that shapes this kernel: the (B*T, C) -> (B, T, H, hd)
+Mosaic constraints that shape this kernel: the (B*T, C) -> (B, T, H, hd)
 head-split reshape splits the LANE dimension and does not lower when
-hd < 128. Heads are therefore handled with a static per-head loop over
-unaligned lane slices (q[:, :, h*hd:(h+1)*hd] — supported), and the head
-merge is folded into the output projection as a sum of per-head
-(attn_h @ wo[h*hd:(h+1)*hd, :]) contributions.
+hd < 128, and 3Dx2D dots flatten through a lane-hd reshape that fails the
+same way. Heads are therefore handled with a static per-head loop over
+unaligned lane slices (q[:, :, h*hd:(h+1)*hd] — supported), merged back via
+a lane-axis concat before one full-width 2D out-proj GEMM. The
+(tiles, T, C) <-> 2D casts additionally require the token count to be a
+sublane-tile multiple — callers gate on that (models/layers.py).
 
 Dropout uses the same counter-based hash PRNG as
 ``vptr_tpu.ops.attention_core`` (`dropout_keep_mask` is the shared jnp test
@@ -100,7 +102,6 @@ def _proj(x2, w_ref, b_ref, tb, tokens, c):
 _BATCHED_QKT = (((2,), (2,)), ((0,), (0,)))   # (B,T,D)x(B,T,D) -> (B,T,T)
 _BATCHED_AV = (((2,), (1,)), ((0,), (0,)))    # (B,T,T)x(B,T,D) -> (B,T,D)
 _BATCHED_WTG = (((1,), (1,)), ((0,), (0,)))   # w^T g per batch
-_PLAIN_LAST = (((2,), (0,)), ((), ()))        # (B,T,D)x(D,C) -> (B,T,C)
 
 
 def _head_attention(q3, k3, v3, bias_ref, seed_ref, i, h, sl, *,

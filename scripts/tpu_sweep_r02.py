@@ -71,6 +71,11 @@ VARIANTS = {
     "full_nodrop": {"transformer": {"fused_attention": True,
                                     "fused_full": True,
                                     "attention_dropout": 0.0}},
+    "core_convffn": {"transformer": {"fused_attention": True,
+                                     "fused_conv_ffn": True}},
+    "full_convffn": {"transformer": {"fused_attention": True,
+                                     "fused_full": True,
+                                     "fused_conv_ffn": True}},
 }
 
 

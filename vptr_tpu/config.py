@@ -82,6 +82,8 @@ class TransformerConfig:
     fused_full: bool = False            # fully-fused sublayer kernel: q/k/v/out
                                         # projections run inside the Pallas
                                         # kernel too (fwd AND bwd)
+    fused_conv_ffn: bool = False        # Pallas conv+LayerNormHWC+GELU for
+                                        # the conv-FFN fc1/fc2 stages
     sequence_parallel: bool = False     # shard the temporal-attention token
                                         # columns over the 'model' mesh axis
                                         # (alternative to tensor parallel)

@@ -58,6 +58,7 @@ class EncoderBlock(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False           # fully-fused sublayer (projections in-kernel)
+    fused_conv_ffn: bool = False       # Pallas conv+LN+GELU for fc1/fc2
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
     dtype: Dtype = jnp.float32
@@ -83,8 +84,8 @@ class EncoderBlock(nn.Module):
 
         # 2) conv feed-forward (cross-window mixing)
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm=ffn_norm,
-                    dropout=self.dropout, dtype=self.dtype,
-                    name="spatial_ffn")(
+                    dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    dtype=self.dtype, name="spatial_ffn")(
             ln("norm2")(x), deterministic=deterministic, train=train)
         x = x + dp(y, deterministic=deterministic)
 
@@ -119,6 +120,7 @@ class DecoderBlockNAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
@@ -146,8 +148,8 @@ class DecoderBlockNAR(nn.Module):
         # 2) conv FFN (LayerNorm flavor: AR_model default True,
         #    VidHRFormer_modules.py:390)
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
-                    dropout=self.dropout, dtype=self.dtype,
-                    name="spatial_ffn")(
+                    dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    dtype=self.dtype, name="spatial_ffn")(
             ln("norm2")(tgt), deterministic=deterministic, train=train)
         tgt = tgt + dp(y, deterministic=deterministic)
 
@@ -184,8 +186,8 @@ class DecoderBlockNAR(nn.Module):
 
         # 6) second conv FFN
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
-                    dropout=self.dropout, dtype=self.dtype,
-                    name="spatial_ffn2")(
+                    dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    dtype=self.dtype, name="spatial_ffn2")(
             ln("norm6")(tgt), deterministic=deterministic, train=train)
         return tgt + dp(y, deterministic=deterministic)
 
@@ -236,6 +238,7 @@ class _ScanEncoderBlock(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -249,6 +252,7 @@ class _ScanEncoderBlock(nn.Module):
                 self.dim_feedforward, far=self.far, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel,
                 conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
                 name="block")(x, pos2d, pos_t, train, deterministic)
@@ -272,6 +276,7 @@ class _ScanDecoderBlockNAR(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
 
@@ -285,6 +290,7 @@ class _ScanDecoderBlockNAR(nn.Module):
                 self.dim_feedforward, tslma=self.tslma, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel, dtype=self.dtype,
                 name="block")(tgt, query_pos, memory, pos2d, pos_t_future,
                               pos_t_past, pos3d, train, deterministic)
@@ -341,6 +347,7 @@ class VPTRFormerFAR(nn.Module):
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
+                          fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         x = feats
@@ -387,6 +394,7 @@ class VPTRFormerNAR(nn.Module):
     rpe: bool = True
     fused_attention: bool = False
     fused_full: bool = False
+    fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
     scan_layers: bool = False           # nn.scan both stacks: ~L-times
@@ -405,6 +413,7 @@ class VPTRFormerNAR(nn.Module):
                           rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
+                          fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         if self.scan_layers:
@@ -523,6 +532,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
                   fused_full=cfg.fused_full,
+                  fused_conv_ffn=cfg.fused_conv_ffn,
                   sequence_parallel=cfg.sequence_parallel,
                   remat=cfg.remat, dtype=dtype)
     if cfg.variant == "far":

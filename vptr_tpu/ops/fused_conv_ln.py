@@ -1,0 +1,182 @@
+"""Pallas fused pointwise-conv + per-sample LayerNorm + GELU.
+
+The conv feed-forward's 1x1 convs (MlpDWBN fc1/fc2, reference:
+VidHRFormer_modules.py:376-442) are GEMMs whose outputs immediately feed a
+LayerNorm over the whole (H, W, C) feature map (torch LayerNorm((C,H,W)) ≙
+LayerNormHWC) and a GELU. XLA materializes the GEMM output to HBM, then the
+two-pass norm reads it twice and writes once — ~3 activation round-trips at
+the 4x-hidden width (51 MB each at the parity geometry). This kernel grids
+over samples, keeps one sample's (HW, C) feature block in VMEM through
+GEMM -> stats -> affine -> GELU, and touches HBM once each way.
+
+Forward and backward are both Pallas kernels (same recompute-and-accumulate
+pattern as ops/fused_window_attention: weight/bias/affine grads accumulate
+across the sample grid; the single grid axis makes += race-free).
+
+Semantics (all in f32 where it matters):
+    u    = x @ w + b                      # (HW, Cin) x (Cin, Cout)
+    zhat = (u - mean(u)) * rsqrt(var(u) + eps)   # stats over ALL HW*Cout
+    y    = gelu(zhat * scale + bias2)     # exact (erf) GELU, per-element
+                                          # affine of LayerNorm((C,H,W))
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _gelu(a):
+    return 0.5 * a * (1.0 + jax.lax.erf(a / _SQRT_2))
+
+
+def _gelu_grad(a):
+    cdf = 0.5 * (1.0 + jax.lax.erf(a / _SQRT_2))
+    pdf = jnp.exp(-0.5 * a * a) * _INV_SQRT_2PI
+    return cdf + a * pdf
+
+
+def _reference(x, w, b, scale, bias2, eps: float = 1e-5):
+    """Plain-XLA reference/oracle. x: (N, HW, Cin); scale/bias2: (HW, Cout)."""
+    u = jnp.einsum("nhc,cd->nhd", x, w,
+                   preferred_element_type=jnp.float32) + b
+    mean = jnp.mean(u, axis=(1, 2), keepdims=True)
+    var = jnp.var(u, axis=(1, 2), keepdims=True)
+    zhat = (u - mean) * jax.lax.rsqrt(var + eps)
+    a = zhat * scale[None] + bias2[None]
+    return _gelu(a).astype(x.dtype)
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, o_ref, *, eps: float):
+    x = x_ref[0]                                      # (HW, Cin)
+    u = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    u = u + b_ref[:].astype(jnp.float32)
+    mean = jnp.mean(u)
+    var = jnp.mean(jnp.square(u - mean))
+    zhat = (u - mean) * jax.lax.rsqrt(var + eps)
+    a = zhat * s_ref[:] + t_ref[:]
+    o_ref[0] = _gelu(a).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, g_ref,
+                dx_ref, dw_ref, db_ref, ds_ref, dt_ref, *, eps: float):
+    i = pl.program_id(0)
+    x = x_ref[0]                                      # (HW, Cin)
+    g = g_ref[0].astype(jnp.float32)
+    u = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    u = u + b_ref[:].astype(jnp.float32)
+    mean = jnp.mean(u)
+    var = jnp.mean(jnp.square(u - mean))
+    rstd = jax.lax.rsqrt(var + eps)
+    zhat = (u - mean) * rstd
+    a = zhat * s_ref[:] + t_ref[:]
+
+    da = g * _gelu_grad(a)
+    ds = da * zhat                                    # (HW, Cout)
+    dz = da * s_ref[:]
+    # LayerNorm backward over the full sample
+    du = (dz - jnp.mean(dz) - zhat * jnp.mean(dz * zhat)) * rstd
+    dw = jnp.dot(x.astype(jnp.float32).T, du,
+                 preferred_element_type=jnp.float32)  # (Cin, Cout)
+    db = jnp.sum(du, axis=0)
+    dx = jnp.dot(du, w_ref[:].astype(jnp.float32).T,
+                 preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw
+        db_ref[:] = db
+        ds_ref[:] = ds
+        dt_ref[:] = da
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+        db_ref[:] = db_ref[:] + db
+        ds_ref[:] = ds_ref[:] + ds
+        dt_ref[:] = dt_ref[:] + da
+
+
+def _specs(hw, cin, cout):
+    sample_in = pl.BlockSpec((1, hw, cin), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    sample_out = pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((cin, cout), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.VMEM)
+    aff = pl.BlockSpec((hw, cout), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return sample_in, sample_out, mat, vec, aff
+
+
+def _forward(x, w, b, scale, bias2, eps: float, interpret: bool):
+    n, hw, cin = x.shape
+    cout = w.shape[1]
+    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, hw, cout), x.dtype),
+        grid=(n,),
+        in_specs=[sample_in, mat, vec, aff, aff],
+        out_specs=sample_out,
+        interpret=interpret,
+    )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32))
+
+
+def _backward(x, w, b, scale, bias2, g, eps: float, interpret: bool):
+    n, hw, cin = x.shape
+    cout = w.shape[1]
+    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout)
+    f32 = jnp.float32
+    dx, dw, db, ds, dt = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((cin, cout), f32),
+                   jax.ShapeDtypeStruct((cout,), f32),
+                   jax.ShapeDtypeStruct((hw, cout), f32),
+                   jax.ShapeDtypeStruct((hw, cout), f32)),
+        grid=(n,),
+        in_specs=[sample_in, mat, vec, aff, aff, sample_out],
+        out_specs=(sample_in, mat, vec, aff, aff),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32), g)
+    return (dx, dw.astype(w.dtype), db.astype(b.dtype),
+            ds.astype(scale.dtype), dt.astype(bias2.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv_ln_gelu(x, w, b, scale, bias2, eps: float = 1e-5,
+                 interpret: bool = False):
+    """Fused 1x1-conv + LayerNormHWC + exact GELU over (N, HW, Cin).
+
+    ``scale``/``bias2``: the LayerNorm's per-element affine, flattened to
+    (HW, Cout). Returns (N, HW, Cout) in x.dtype. Fully differentiable with
+    Pallas kernels both directions.
+    """
+    return _forward(x, w, b, scale, bias2, eps, interpret)
+
+
+def _vjp_fwd(x, w, b, scale, bias2, eps, interpret):
+    out = _forward(x, w, b, scale, bias2, eps, interpret)
+    return out, (x, w, b, scale, bias2)
+
+
+def _vjp_bwd(eps, interpret, residuals, g):
+    x, w, b, scale, bias2 = residuals
+    return _backward(x, w, b, scale, bias2, g, eps, interpret)
+
+
+conv_ln_gelu.defvjp(_vjp_fwd, _vjp_bwd)

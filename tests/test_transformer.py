@@ -192,3 +192,25 @@ def test_scan_layers_nar_matches_unrolled():
                                        if k != "params"})
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_scan_layers_far_matches_unrolled():
+    """FAR scan_layers numeric equivalence: restacking the unrolled
+    per-layer params into the (L, ...) scan layout reproduces the output."""
+    kw = dict(num_past_frames=3, num_future_frames=3, num_encoder_layers=3,
+              **TINY)
+    unrolled = VPTRFormerFAR(scan_layers=False, **kw)
+    scanned = VPTRFormerFAR(scan_layers=True, **kw)
+    x = _feats(2, 5)
+    uvars = unrolled.init(jax.random.PRNGKey(0), x)
+
+    blocks = [uvars["params"][f"block{i}"] for i in range(3)]
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *blocks)
+    svars = {"params": {
+        "blocks": {"block": stacked},
+        "final_norm": uvars["params"]["final_norm"],
+    }}
+    a = unrolled.apply(uvars, x)
+    b = scanned.apply(svars, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)

@@ -320,6 +320,7 @@ class VPTRFormerFAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
     scan_layers: bool = False           # nn.scan the block stack: ~L-times

@@ -66,3 +66,21 @@ def test_mlpdwbn_fused_ln_matches_unfused():
     jax.tree_util.tree_map(
         lambda u, v: np.testing.assert_allclose(
             np.asarray(u), np.asarray(v), atol=2e-3, rtol=2e-3), ga, gb)
+
+
+def test_ragged_sample_count_and_blocks():
+    """Sample counts not divisible by block_samples pad with zeros; padded
+    samples must not perturb outputs or accumulated weight grads."""
+    x, w, b, scale, bias2 = _inputs(n=7)
+
+    a = conv_ln_gelu(x, w, b, scale, bias2, 1e-5, True, 4)   # pads 7 -> 8
+    want = _reference(x, w, b, scale, bias2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    gf = jax.grad(lambda w: jnp.sum(
+        conv_ln_gelu(x, w, b, scale, bias2, 1e-5, True, 4) ** 2))(w)
+    gr = jax.grad(lambda w: jnp.sum(
+        _reference(x, w, b, scale, bias2) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=2e-4, rtol=2e-4)

@@ -6,8 +6,12 @@ LayerNorm over the whole (H, W, C) feature map (torch LayerNorm((C,H,W)) ≙
 LayerNormHWC) and a GELU. XLA materializes the GEMM output to HBM, then the
 two-pass norm reads it twice and writes once — ~3 activation round-trips at
 the 4x-hidden width (51 MB each at the parity geometry). This kernel grids
-over samples, keeps one sample's (HW, C) feature block in VMEM through
-GEMM -> stats -> affine -> GELU, and touches HBM once each way.
+over blocks of samples, keeps the (S, HW, C) feature block in VMEM through
+GEMM -> per-sample stats -> affine -> GELU, and touches HBM once each way.
+
+The GEMM runs on the (S*HW, Cin) flattening; Mosaic only lowers that shape
+cast when HW is a sublane-tile multiple (8x8 windows = 64 ✓ — callers with
+odd spatial sizes should stay on the XLA path).
 
 Forward and backward are both Pallas kernels (same recompute-and-accumulate
 pattern as ops/fused_window_attention: weight/bias/affine grads accumulate
@@ -56,61 +60,68 @@ def _reference(x, w, b, scale, bias2, eps: float = 1e-5):
     return _gelu(a).astype(x.dtype)
 
 
+def _project(x_ref, w_ref, b_ref):
+    """(S, HW, Cin) block -> u (S, HW, Cout) f32 with per-sample stats."""
+    s_blk, hw, cin = x_ref.shape
+    x2 = x_ref[:].reshape(s_blk * hw, cin)
+    u = jnp.dot(x2, w_ref[:], preferred_element_type=jnp.float32)
+    u = (u + b_ref[:].astype(jnp.float32)).reshape(s_blk, hw, -1)
+    mean = jnp.mean(u, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(u - mean), axis=(1, 2), keepdims=True)
+    return u, mean, var
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, o_ref, *, eps: float):
-    x = x_ref[0]                                      # (HW, Cin)
-    u = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
-    u = u + b_ref[:].astype(jnp.float32)
-    mean = jnp.mean(u)
-    var = jnp.mean(jnp.square(u - mean))
+    u, mean, var = _project(x_ref, w_ref, b_ref)
     zhat = (u - mean) * jax.lax.rsqrt(var + eps)
-    a = zhat * s_ref[:] + t_ref[:]
-    o_ref[0] = _gelu(a).astype(o_ref.dtype)
+    a = zhat * s_ref[:][None] + t_ref[:][None]
+    o_ref[:] = _gelu(a).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, g_ref,
                 dx_ref, dw_ref, db_ref, ds_ref, dt_ref, *, eps: float):
     i = pl.program_id(0)
-    x = x_ref[0]                                      # (HW, Cin)
-    g = g_ref[0].astype(jnp.float32)
-    u = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
-    u = u + b_ref[:].astype(jnp.float32)
-    mean = jnp.mean(u)
-    var = jnp.mean(jnp.square(u - mean))
+    s_blk, hw, cin = x_ref.shape
+    g = g_ref[:].astype(jnp.float32)                  # (S, HW, Cout)
+    u, mean, var = _project(x_ref, w_ref, b_ref)
     rstd = jax.lax.rsqrt(var + eps)
     zhat = (u - mean) * rstd
-    a = zhat * s_ref[:] + t_ref[:]
+    a = zhat * s_ref[:][None] + t_ref[:][None]
 
     da = g * _gelu_grad(a)
-    ds = da * zhat                                    # (HW, Cout)
-    dz = da * s_ref[:]
-    # LayerNorm backward over the full sample
-    du = (dz - jnp.mean(dz) - zhat * jnp.mean(dz * zhat)) * rstd
-    dw = jnp.dot(x.astype(jnp.float32).T, du,
-                 preferred_element_type=jnp.float32)  # (Cin, Cout)
-    db = jnp.sum(du, axis=0)
-    dx = jnp.dot(du, w_ref[:].astype(jnp.float32).T,
+    ds = jnp.sum(da * zhat, axis=0)                   # (HW, Cout)
+    dt = jnp.sum(da, axis=0)
+    dz = da * s_ref[:][None]
+    # LayerNorm backward per sample (stats over that sample's HW*Cout)
+    du = (dz - jnp.mean(dz, axis=(1, 2), keepdims=True)
+          - zhat * jnp.mean(dz * zhat, axis=(1, 2), keepdims=True)) * rstd
+    du2 = du.reshape(s_blk * hw, -1)
+    x2 = x_ref[:].reshape(s_blk * hw, cin).astype(jnp.float32)
+    dw = jnp.dot(x2.T, du2, preferred_element_type=jnp.float32)
+    db = jnp.sum(du2, axis=0)
+    dx = jnp.dot(du2, w_ref[:].astype(jnp.float32).T,
                  preferred_element_type=jnp.float32)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[:] = dx.astype(dx_ref.dtype).reshape(s_blk, hw, cin)
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = dw
         db_ref[:] = db
         ds_ref[:] = ds
-        dt_ref[:] = da
+        dt_ref[:] = dt
 
     @pl.when(i > 0)
     def _():
         dw_ref[:] = dw_ref[:] + dw
         db_ref[:] = db_ref[:] + db
         ds_ref[:] = ds_ref[:] + ds
-        dt_ref[:] = dt_ref[:] + da
+        dt_ref[:] = dt_ref[:] + dt
 
 
-def _specs(hw, cin, cout):
-    sample_in = pl.BlockSpec((1, hw, cin), lambda i: (i, 0, 0),
+def _specs(hw, cin, cout, s_blk):
+    sample_in = pl.BlockSpec((s_blk, hw, cin), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    sample_out = pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0),
+    sample_out = pl.BlockSpec((s_blk, hw, cout), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((cin, cout), lambda i: (0, 0),
                        memory_space=pltpu.VMEM)
@@ -120,24 +131,41 @@ def _specs(hw, cin, cout):
     return sample_in, sample_out, mat, vec, aff
 
 
-def _forward(x, w, b, scale, bias2, eps: float, interpret: bool):
+def _pad_samples(x, s_blk):
+    n = x.shape[0]
+    pad = (-n) % s_blk
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, n
+
+
+def _forward(x, w, b, scale, bias2, eps: float, block_samples: int,
+             interpret: bool):
     n, hw, cin = x.shape
     cout = w.shape[1]
-    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout)
-    return pl.pallas_call(
+    s_blk = min(block_samples, n)
+    x, n0 = _pad_samples(x, s_blk)
+    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout, s_blk)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, hw, cout), x.dtype),
-        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], hw, cout), x.dtype),
+        grid=(x.shape[0] // s_blk,),
         in_specs=[sample_in, mat, vec, aff, aff],
         out_specs=sample_out,
         interpret=interpret,
     )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32))
+    return out[:n0]
 
 
-def _backward(x, w, b, scale, bias2, g, eps: float, interpret: bool):
+def _backward(x, w, b, scale, bias2, g, eps: float, block_samples: int,
+              interpret: bool):
     n, hw, cin = x.shape
     cout = w.shape[1]
-    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout)
+    s_blk = min(block_samples, n)
+    x, n0 = _pad_samples(x, s_blk)
+    g, _ = _pad_samples(g, s_blk)
+    sample_in, sample_out, mat, vec, aff = _specs(hw, cin, cout, s_blk)
     f32 = jnp.float32
     dx, dw, db, ds, dt = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
@@ -146,37 +174,39 @@ def _backward(x, w, b, scale, bias2, g, eps: float, interpret: bool):
                    jax.ShapeDtypeStruct((cout,), f32),
                    jax.ShapeDtypeStruct((hw, cout), f32),
                    jax.ShapeDtypeStruct((hw, cout), f32)),
-        grid=(n,),
+        grid=(x.shape[0] // s_blk,),
         in_specs=[sample_in, mat, vec, aff, aff, sample_out],
         out_specs=(sample_in, mat, vec, aff, aff),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32), g)
-    return (dx, dw.astype(w.dtype), db.astype(b.dtype),
+    return (dx[:n0], dw.astype(w.dtype), db.astype(b.dtype),
             ds.astype(scale.dtype), dt.astype(bias2.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def conv_ln_gelu(x, w, b, scale, bias2, eps: float = 1e-5,
-                 interpret: bool = False):
+                 interpret: bool = False, block_samples: int = 8):
     """Fused 1x1-conv + LayerNormHWC + exact GELU over (N, HW, Cin).
 
     ``scale``/``bias2``: the LayerNorm's per-element affine, flattened to
     (HW, Cout). Returns (N, HW, Cout) in x.dtype. Fully differentiable with
-    Pallas kernels both directions.
+    Pallas kernels both directions. ``block_samples`` batches the per-sample
+    grid for bigger GEMMs (padded zero samples contribute nothing to the
+    accumulated grads: their du is finite and multiplied by zero inputs).
     """
-    return _forward(x, w, b, scale, bias2, eps, interpret)
+    return _forward(x, w, b, scale, bias2, eps, block_samples, interpret)
 
 
-def _vjp_fwd(x, w, b, scale, bias2, eps, interpret):
-    out = _forward(x, w, b, scale, bias2, eps, interpret)
+def _vjp_fwd(x, w, b, scale, bias2, eps, interpret, block_samples):
+    out = _forward(x, w, b, scale, bias2, eps, block_samples, interpret)
     return out, (x, w, b, scale, bias2)
 
 
-def _vjp_bwd(eps, interpret, residuals, g):
+def _vjp_bwd(eps, interpret, block_samples, residuals, g):
     x, w, b, scale, bias2 = residuals
-    return _backward(x, w, b, scale, bias2, g, eps, interpret)
+    return _backward(x, w, b, scale, bias2, g, eps, block_samples, interpret)
 
 
 conv_ln_gelu.defvjp(_vjp_fwd, _vjp_bwd)

@@ -39,6 +39,9 @@ def main():
                         help="attention path; default = fastest measured "
                              "(Pallas fused core, in-kernel dropout — full "
                              "reference-parity semantics)")
+    parser.add_argument("--conv-ffn", action="store_true",
+                        help="fused Pallas conv+LayerNorm+GELU in the "
+                             "conv-FFN fc1/fc2 stages")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 
@@ -54,7 +57,8 @@ def main():
                  # attention-weight dropout in-kernel (parity semantics)
                  "transformer": {
                      "fused_attention": args.attention != "unfused",
-                     "fused_full": args.attention == "full"}}
+                     "fused_full": args.attention == "full",
+                     "fused_conv_ffn": args.conv_ffn}}
     if args.quick:
         overrides.update({
             "ae": {"feat_dim": 24, "n_res_blocks": 1},

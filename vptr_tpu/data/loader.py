@@ -9,8 +9,6 @@ per host, like the reference's batch // world_size split).
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -77,7 +75,7 @@ class ClipLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         indices = self._epoch_indices()
-        rng = np.random.default_rng((self.seed, self.epoch, self.host_id))
+        epoch = self.epoch
         self.epoch += 1
         nb = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
@@ -87,37 +85,38 @@ class ClipLoader:
             if len(rem):
                 batches.append(rem)
 
-        if self.prefetch <= 0:
-            for b in batches:
-                yield self._make_batch(b, rng)
+        def make(bi: int, b: np.ndarray):
+            # per-batch keyed rng: augmentation streams stay deterministic
+            # under any worker-thread scheduling (torch DataLoader gives the
+            # same guarantee via per-worker seeds)
+            rng = np.random.default_rng(
+                (self.seed, epoch, self.host_id, bi))
+            return self._make_batch(b, rng)
+
+        if self.prefetch <= 0 or self.num_workers <= 0:
+            for bi, b in enumerate(batches):
+                yield make(bi, b)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        # thread pool: PIL decode / native render release the GIL, so
+        # batches assemble in parallel while the accelerator trains
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(b, rng))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
+        from collections import deque
 
-        thread = threading.Thread(target=worker, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            inflight: deque = deque()
+            it = iter(enumerate(batches))
+            for _ in range(self.prefetch + self.num_workers):
+                nxt = next(it, None)
+                if nxt is None:
                     break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+                inflight.append(ex.submit(make, *nxt))
+            while inflight:
+                yield inflight.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(ex.submit(make, *nxt))
 
 
 def build_dataset(cfg, *, split: str = "train", seed: int = 0):

@@ -72,9 +72,10 @@ class TransformerConfig:
     window_size: int = 4
     spatial_ffn_hidden_ratio: int = 4
     dropout: float = 0.1
-    attention_dropout: Optional[float] = None  # None -> same as dropout
-                                        # (set 0 to enable fused attention
-                                        # during training)
+    attention_dropout: Optional[float] = None  # None -> same as dropout;
+                                        # the fused kernels support dropout
+                                        # in-kernel, so 0 is an ablation
+                                        # knob, not a fusion requirement
     drop_path: float = 0.1              # reference ties drop_path = dropout (VPTR_modules.py:114)
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA

@@ -49,7 +49,8 @@ def main():
     pos_t = position_embedding_1d(19, d)
     rng = jax.random.PRNGKey(0)
 
-    block = EncoderBlock(d, heads, window, 0.0, 0.0, 4, 4 * d, far=True,
+    block = EncoderBlock(d, heads, window, dropout=0.0, drop_path=0.0,
+                         ffn_hidden_ratio=4, dim_feedforward=4 * d, far=True,
                          fused_attention=args.fused, dtype=dtype)
     bv = block.init(rng, x, pos2d, pos_t)
     bench("EncoderBlock fwd", jax.jit(

@@ -39,12 +39,23 @@ _SQRT_2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |error| <= 1.5e-7 (below f32
+    epsilon for gelu's purposes). Mosaic has no erf lowering; exp it has."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(a):
-    return 0.5 * a * (1.0 + jax.lax.erf(a / _SQRT_2))
+    return 0.5 * a * (1.0 + _erf(a / _SQRT_2))
 
 
 def _gelu_grad(a):
-    cdf = 0.5 * (1.0 + jax.lax.erf(a / _SQRT_2))
+    cdf = 0.5 * (1.0 + _erf(a / _SQRT_2))
     pdf = jnp.exp(-0.5 * a * a) * _INV_SQRT_2PI
     return cdf + a * pdf
 

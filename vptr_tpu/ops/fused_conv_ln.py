@@ -72,41 +72,54 @@ def _reference(x, w, b, scale, bias2, eps: float = 1e-5):
 
 
 def _project(x_ref, w_ref, b_ref):
-    """(S, HW, Cin) block -> u (S, HW, Cout) f32 with per-sample stats."""
+    """(S, HW, Cin) block -> u (S, HW, Cout) f32 after the GEMM."""
     s_blk, hw, cin = x_ref.shape
     x2 = x_ref[:].reshape(s_blk * hw, cin)
     u = jnp.dot(x2, w_ref[:], preferred_element_type=jnp.float32)
-    u = (u + b_ref[:].astype(jnp.float32)).reshape(s_blk, hw, -1)
-    mean = jnp.mean(u, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(u - mean), axis=(1, 2), keepdims=True)
-    return u, mean, var
+    return (u + b_ref[:].astype(jnp.float32)).reshape(s_blk, hw, -1)
 
+
+# NOTE: stats run per sample with SCALAR mean/var in a static loop — the
+# vectorized keepdims form produces (S, 1, 1) intermediates that crash
+# Mosaic's layout inference (CHECK failure in layout.h).
 
 def _fwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, o_ref, *, eps: float):
-    u, mean, var = _project(x_ref, w_ref, b_ref)
-    zhat = (u - mean) * jax.lax.rsqrt(var + eps)
-    a = zhat * s_ref[:][None] + t_ref[:][None]
-    o_ref[:] = _gelu(a).astype(o_ref.dtype)
+    u = _project(x_ref, w_ref, b_ref)
+    scale, shift = s_ref[:], t_ref[:]
+    for si in range(u.shape[0]):
+        us = u[si]                                    # (HW, Cout)
+        mean = jnp.mean(us)
+        var = jnp.mean(jnp.square(us - mean))
+        zhat = (us - mean) * jax.lax.rsqrt(var + eps)
+        o_ref[si] = _gelu(zhat * scale + shift).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, g_ref,
                 dx_ref, dw_ref, db_ref, ds_ref, dt_ref, *, eps: float):
     i = pl.program_id(0)
     s_blk, hw, cin = x_ref.shape
-    g = g_ref[:].astype(jnp.float32)                  # (S, HW, Cout)
-    u, mean, var = _project(x_ref, w_ref, b_ref)
-    rstd = jax.lax.rsqrt(var + eps)
-    zhat = (u - mean) * rstd
-    a = zhat * s_ref[:][None] + t_ref[:][None]
+    u = _project(x_ref, w_ref, b_ref)
+    scale, shift = s_ref[:], t_ref[:]
 
-    da = g * _gelu_grad(a)
-    ds = jnp.sum(da * zhat, axis=0)                   # (HW, Cout)
-    dt = jnp.sum(da, axis=0)
-    dz = da * s_ref[:][None]
-    # LayerNorm backward per sample (stats over that sample's HW*Cout)
-    du = (dz - jnp.mean(dz, axis=(1, 2), keepdims=True)
-          - zhat * jnp.mean(dz * zhat, axis=(1, 2), keepdims=True)) * rstd
-    du2 = du.reshape(s_blk * hw, -1)
+    du_parts = []
+    ds = jnp.zeros_like(scale)
+    dt = jnp.zeros_like(shift)
+    for si in range(s_blk):
+        us = u[si]
+        gs = g_ref[si].astype(jnp.float32)
+        mean = jnp.mean(us)
+        var = jnp.mean(jnp.square(us - mean))
+        rstd = jax.lax.rsqrt(var + eps)
+        zhat = (us - mean) * rstd
+        a = zhat * scale + shift
+        da = gs * _gelu_grad(a)
+        ds = ds + da * zhat
+        dt = dt + da
+        dz = da * scale
+        # LayerNorm backward over this sample's HW*Cout elements
+        du_parts.append(
+            (dz - jnp.mean(dz) - zhat * jnp.mean(dz * zhat)) * rstd)
+    du2 = jnp.concatenate(du_parts, axis=0)           # (S*HW, Cout)
     x2 = x_ref[:].reshape(s_blk * hw, cin).astype(jnp.float32)
     dw = jnp.dot(x2.T, du2, preferred_element_type=jnp.float32)
     db = jnp.sum(du2, axis=0)

@@ -84,7 +84,13 @@ class TransformerConfig:
                                         # projections run inside the Pallas
                                         # kernel too (fwd AND bwd)
     fused_conv_ffn: bool = False        # Pallas conv+LayerNormHWC+GELU for
-                                        # the conv-FFN fc1/fc2 stages
+                                        # the conv-FFN fc1/fc2 stages.
+                                        # Ablation only: measured SLOWER
+                                        # than XLA's own fusion at parity
+                                        # shapes (BENCH_NOTES.md) and the
+                                        # full-step composition currently
+                                        # fails the remote Mosaic toolchain
+                                        # (standalone kernels verified)
     sequence_parallel: bool = False     # shard the temporal-attention token
                                         # columns over the 'model' mesh axis
                                         # (alternative to tensor parallel)

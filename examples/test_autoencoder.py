@@ -8,6 +8,13 @@ set, save comparison strips, print PSNR/SSIM.
 
 from __future__ import annotations
 
+# runnable from anywhere: put the repo root on sys.path when the package
+# is not installed
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import jax

@@ -15,6 +15,13 @@ Modes (reference: Test_VPTR.ipynb cells 5-11):
 
 from __future__ import annotations
 
+# runnable from anywhere: put the repo root on sys.path when the package
+# is not installed
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import numpy as np

@@ -41,7 +41,9 @@ def main():
                              "reference-parity semantics)")
     parser.add_argument("--conv-ffn", action="store_true",
                         help="fused Pallas conv+LayerNorm+GELU in the "
-                             "conv-FFN fc1/fc2 stages")
+                             "conv-FFN fc1/fc2 stages (CPU-only ablation: "
+                             "measured slower than XLA and gated off on "
+                             "TPU — see BENCH_NOTES.md)")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 

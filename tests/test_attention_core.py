@@ -163,6 +163,7 @@ def test_core_dropout_backward_matches_masked_reference():
                                    atol=1e-3, rtol=1e-3, err_msg=name)
 
 
+@pytest.mark.slow
 def test_mha_fused_dropout_trains():
     """MultiHeadAttention(fused=True) with attention dropout active must run
     (non-deterministic path), differ from the deterministic output, and have

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import torch
 import torch.nn as nn
@@ -34,6 +35,7 @@ def test_conv_transpose_matches_torch():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_encoder_decoder_geometry():
     """64x64 frames -> 8x8 latents -> 64x64 frames with n_downsampling=3
     (reference: train_FAR.py:158, ResNetAutoEncoder.py:31-41)."""

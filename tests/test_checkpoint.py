@@ -1,5 +1,6 @@
 """Checkpoint round-trips: resume, and the stage-1 -> stage-2 AE handoff."""
 
+import pytest
 import numpy as np
 
 from vptr_tpu.config import get_preset
@@ -24,6 +25,7 @@ def _leaves_equal(a, b):
                for x, y in zip(la, lb))
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = get_preset("ae_mnist").override(TINY_AE)
     tr = Trainer(cfg, write_outputs=False)
@@ -42,6 +44,7 @@ def test_save_restore_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_stage1_to_stage2_handoff(tmp_path):
     """Stage 2 must load the frozen stage-1 AE weights
     (reference: train_FAR.py:210)."""
@@ -78,3 +81,49 @@ def test_stage1_to_stage2_handoff(tmp_path):
     # and the loaded AE actually trains stage 2
     far_state, metrics = far_tr.train_step(far_state, *batch)
     assert np.isfinite(float(metrics["T_total"]))
+
+def test_reference_envelope_tolerated(tmp_path):
+    """import_reference_checkpoint must survive EVERY key the reference's
+    save_ckpt writes (reference: utils/train_summary.py:130-149): epoch,
+    loss_dict holding Loss_tuple instances pickled from the reference's OWN
+    module namespace (unimportable here), real optimizer state, and the
+    ``code`` source-tree byte snapshot."""
+    import sys
+    import types
+
+    import torch
+
+    from vptr_tpu.utils.torch_import import import_reference_checkpoint
+
+    # Loss_tuple lives in the reference's utils.train_summary; emulate that
+    # with a throwaway module that exists at SAVE time only
+    mod = types.ModuleType("utils_train_summary_ghost")
+
+    class LossTuple:
+        def __init__(self):
+            self.train = [0.5, 0.4]
+            self.val = [0.6]
+
+    LossTuple.__module__ = mod.__name__
+    LossTuple.__qualname__ = "Loss_tuple"
+    mod.Loss_tuple = LossTuple
+    sys.modules[mod.__name__] = mod
+
+    lin = torch.nn.Linear(4, 4)
+    opt = torch.optim.Adam(lin.parameters())
+    lin(torch.zeros(1, 4)).sum().backward()
+    opt.step()
+
+    path = tmp_path / "epoch_7.tar"
+    torch.save({
+        "epoch": 7,
+        "loss_dict": {"AE_MSE": LossTuple(), "epochs": 7},
+        "Module_state_dict": {"VPTR_Disc": lin.state_dict()},
+        "optimizer_state_dict": {"optimizer_D": opt.state_dict()},
+        "code": {"train_FAR.py": b"#!/usr/bin/env python\nprint('x')\n"},
+    }, str(path))
+    del sys.modules[mod.__name__]  # make Loss_tuple unresolvable at load
+
+    converted = import_reference_checkpoint(str(path))
+    # the disc is an unrecognized module -> skipped; nothing else crashes
+    assert converted == {}

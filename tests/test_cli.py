@@ -42,6 +42,7 @@ def test_info_rejects_unknown_key():
         main(["info", "--preset", "far_mnist", "--set", "no.such_key=1"])
 
 
+@pytest.mark.slow
 def test_eval_command_prints_curves(tmp_path, capsys):
     main(["eval", "--preset", "far_mnist", "--ckpt-dir", str(tmp_path),
           "--mode", "far", "--num-pred", "2", "--max-batches", "1",

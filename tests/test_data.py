@@ -178,3 +178,45 @@ def test_mjpeg_avi_writer_roundtrip(tmp_path):
     want = np.repeat((clip * 255).astype(np.uint8), 3, axis=-1)
     err = np.abs(frames[0].astype(float) - want[0].astype(float)).mean()
     assert err < 8.0, f"jpeg roundtrip error {err}"
+
+
+def test_dynamic_synthetic_generator():
+    """The quality-eval task: accelerated/colliding digits + pixel noise,
+    deterministic per (seed, index), values in [0, 1], and genuinely
+    different dynamics from the linear smoke task."""
+    dyn = SyntheticMovingMNIST(num_clips=4, num_past=10, num_future=10,
+                               size=64, num_digits=3, motion="dynamic",
+                               noise=0.03)
+    p, f = dyn.get(0)
+    assert p.shape == (10, 64, 64, 1) and f.shape == (10, 64, 64, 1)
+    assert 0.0 <= p.min() and p.max() <= 1.0
+    assert p.max() > 0.3
+    p2, f2 = dyn.get(0)
+    np.testing.assert_array_equal(p, p2)
+    np.testing.assert_array_equal(f, f2)
+
+    # pixel noise present: background (off-digit) pixels are non-zero
+    clean = SyntheticMovingMNIST(num_clips=4, num_past=10, num_future=10,
+                                 size=64, num_digits=3, motion="dynamic",
+                                 noise=0.0)
+    pc, _ = clean.get(0)
+    assert (p > 0).mean() > 0.3        # noise touches most pixels
+    assert (pc > 0).mean() < 0.3       # digits only
+
+    # curved trajectories: frame-to-frame digit displacement is NOT constant
+    # (linear motion would make second differences of the glyph centroid ~0)
+    def centroids(frames):
+        ys, xs = np.mgrid[0:64, 0:64]
+        w = frames[..., 0] + 1e-9
+        return np.stack([(w * ys).sum((1, 2)) / w.sum((1, 2)),
+                         (w * xs).sum((1, 2)) / w.sum((1, 2))], -1)
+    c_dyn = centroids(np.concatenate([pc, clean.get(0)[1]], 0))
+    accel = np.diff(c_dyn, n=2, axis=0)
+    assert np.abs(accel).max() > 0.2   # visible curvature / interactions
+
+
+def test_build_dataset_default_is_dynamic():
+    cfg = DataConfig(dataset="synthetic")
+    ds = build_dataset(cfg, split="train")
+    assert isinstance(ds, SyntheticMovingMNIST)
+    assert ds.motion == "dynamic" and ds.noise > 0 and ds.num_digits == 3

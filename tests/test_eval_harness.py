@@ -4,6 +4,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vptr_tpu.config import get_preset
@@ -25,6 +26,7 @@ TINY = {
 }
 
 
+@pytest.mark.slow
 def test_harness_all_rollout_modes():
     for stage, modes in [("far", ["far", "far_rip", "far_ril"]),
                          ("nar", ["nar"])]:

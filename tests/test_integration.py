@@ -6,9 +6,12 @@ alternation, and batch-stats threading together.
 """
 
 import numpy as np
+import pytest
 
 from vptr_tpu.config import get_preset
 from vptr_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow
 
 
 def test_ae_overfits_one_batch():

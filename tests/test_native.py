@@ -56,3 +56,18 @@ def test_loader_uses_native_batch_path():
     # deterministic across epochs without flips
     past2, _ = next(iter(loader))
     np.testing.assert_array_equal(past, past2)
+
+
+def test_render_clips_dynamic_mode():
+    ds = SyntheticMovingMNIST(num_clips=4, num_past=5, num_future=5, size=64)
+    idx = np.arange(4)
+    a = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "dynamic", 0.03)
+    b = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "dynamic", 0.03)
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert a.shape == (4, 10, 64, 64, 1)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    lin = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "linear", 0.0)
+    assert np.abs(a - lin).max() > 0.1           # different dynamics
+    # noise touches background pixels
+    clean = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "dynamic", 0.0)
+    assert (a > 0).mean() > 0.3 and (clean > 0).mean() < 0.3

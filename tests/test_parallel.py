@@ -8,7 +8,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+pytestmark = pytest.mark.slow
 
 from vptr_tpu.config import get_preset
 from vptr_tpu.parallel.mesh import make_mesh, state_sharding, tp_param_specs

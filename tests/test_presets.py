@@ -18,6 +18,7 @@ SHRINK = {
 
 
 @pytest.mark.parametrize("name", list_presets())
+@pytest.mark.slow
 def test_preset_one_step(name):
     cfg = get_preset(name)
     over = dict(SHRINK)

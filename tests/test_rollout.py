@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vptr_tpu.eval.rollout import (
@@ -50,6 +51,7 @@ def _naive_far_rollout(tr_fn, enc, dec, past, num_pred, context):
     return np.stack(preds, axis=1)
 
 
+@pytest.mark.slow
 def test_far_rollout_matches_naive_loop():
     tp, tf, num_pred = 3, 3, 5             # crosses the buffer-full boundary
     tr_fn = _make_far(tp, tf)
@@ -63,6 +65,7 @@ def test_far_rollout_matches_naive_loop():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_far_latent_equals_pixel_with_identity_codec():
     tp, tf = 2, 2
     tr_fn = _make_far(tp, tf)

@@ -24,9 +24,12 @@ test, tests/test_position.py).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
+
+pytestmark = pytest.mark.slow  # full 528-d/12-layer geometry
 
 from vptr_tpu.models.autoencoder import VPTRDec, VPTREnc
 from vptr_tpu.models.position import (
@@ -456,10 +459,10 @@ def test_reference_checkpoint_file_roundtrip(tmp_path):
     _randomize_bn(tenc)
     path = tmp_path / "epoch_3.tar"
     torch.save({
-        "epoch": 3, "loss_dict": {},
+        "epoch": 3, "loss_dict": {"T_total": ([0.5], [0.4]), "epochs": 3},
         "Module_state_dict": {"VPTR_Enc": tenc.state_dict(),
                               "VPTR_Transformer": tfar.state_dict()},
-        "optimizer_state_dict": {}, "code": {},
+        "optimizer_state_dict": {}, "code": {"train_FAR.py": b"src bytes"},
     }, str(path))
 
     converted = import_reference_checkpoint(str(path))

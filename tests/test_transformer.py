@@ -91,6 +91,7 @@ def test_dropout_rngs_change_output_in_train_mode():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
+@pytest.mark.slow
 def test_remat_matches_unrematted():
     """remat must be numerically invisible (same params, same output)."""
     model_a = VPTRFormerFAR(num_past_frames=3, num_future_frames=3,
@@ -153,6 +154,7 @@ def test_scan_layers_far():
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_scan_layers_nar_matches_unrolled():
     """NAR scan_layers must be numerically identical to the unrolled stack:
     restacking the unrolled per-layer params into the (L, ...) scan layout

@@ -79,7 +79,10 @@ class TransformerConfig:
     drop_path: float = 0.1              # reference ties drop_path = dropout (VPTR_modules.py:114)
     rpe: bool = False                   # relative position bias in window attention
     tslma: bool = False                 # NAR enc-dec attn: TSLMA vs full temporal MHA
-    fused_attention: bool = False       # Pallas fused attention sublayers
+    fused_attention: bool = True        # Pallas fused attention sublayers —
+                                        # the measured-fastest parity config
+                                        # (BENCH_NOTES.md round-2 sweep);
+                                        # interpret-mode fallback off-TPU
     fused_full: bool = False            # fully-fused sublayer kernel: q/k/v/out
                                         # projections run inside the Pallas
                                         # kernel too (fwd AND bwd)
@@ -133,6 +136,13 @@ class DataConfig:
     random_flip: bool = True            # one flip decision per clip (utils/dataset.py:393-413)
     num_workers: int = 4
     prefetch: int = 2
+    # synthetic stand-in generator (used when data_dir is empty/missing):
+    # "dynamic" = accelerated, colliding, occluding digits + pixel noise —
+    # hard enough that rollout error accumulates and the FAR/NAR rollout
+    # modes separate; "linear" = the trivially-extrapolatable smoke task
+    synthetic_motion: str = "dynamic"
+    synthetic_noise: float = 0.03
+    synthetic_digits: int = 3
 
 
 @dataclass(frozen=True)

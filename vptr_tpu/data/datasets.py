@@ -172,8 +172,20 @@ class SyntheticMovingMNIST:
     """Procedural bouncing-digits clips — shape/statistics compatible stand-in
     when the real MovingMNIST npz is absent (benchmarks, CI, smoke tests).
 
-    Two glyphs bounce linearly in a 64x64 canvas with pixel-max compositing,
-    like the canonical generator. Deterministic per (seed, index).
+    Deterministic per (seed, index). Two motion models:
+
+    * ``motion="linear"`` — the canonical generator: glyphs bounce linearly
+      with pixel-max compositing. Trivially extrapolatable, so trained
+      models saturate within an epoch (useful for smoke tests only).
+    * ``motion="dynamic"`` — the quality-evaluation task: per-digit constant
+      acceleration (random direction) curves every trajectory, initial
+      velocities are angle-drawn, speed is clamped, digits collide
+      elastically (velocity swap when approaching within 0.75*digit) and
+      occlude under max-compositing, and optional per-frame uniform pixel
+      noise (``noise``) sets an intrinsic denoising floor. Future frames
+      depend on latent state (velocity, acceleration, impending collisions)
+      that must be inferred from the past — so rollout error accumulates
+      and the FAR/NAR rollout modes separate, unlike the linear task.
     """
 
     _GLYPH_CACHE = {}  # digit_size -> rendered 0-9 bitmaps
@@ -181,7 +193,8 @@ class SyntheticMovingMNIST:
     def __init__(self, num_clips: int = 2048, num_past: int = 10,
                  num_future: int = 10, size: int = 64, digit_size: int = 20,
                  num_digits: int = 2, seed: int = 0, channels: int = 1,
-                 transform: Optional[ClipTransform] = None):
+                 transform: Optional[ClipTransform] = None,
+                 motion: str = "linear", noise: float = 0.0):
         self.num_clips = num_clips
         self.num_past = num_past
         self.num_future = num_future
@@ -191,6 +204,9 @@ class SyntheticMovingMNIST:
         self.num_digits = num_digits
         self.seed = seed
         self.transform = transform
+        assert motion in ("linear", "dynamic"), motion
+        self.motion = motion
+        self.noise = float(noise)
         if self.digit_size not in self._GLYPH_CACHE:
             self._GLYPH_CACHE[self.digit_size] = self._render_glyphs(
                 self.digit_size)
@@ -218,6 +234,20 @@ class SyntheticMovingMNIST:
         canvas = np.zeros((t_total, self.size, self.size, self.channels),
                           np.float32)
         lim = self.size - self.digit_size
+        if self.motion == "dynamic":
+            self._render_dynamic(canvas, r, t_total, lim)
+        else:
+            self._render_linear(canvas, r, t_total, lim)
+        if self.transform is not None:
+            canvas = self.transform(canvas, rng)
+        return canvas[:self.num_past], canvas[-self.num_future:]
+
+    def _stamp(self, frame, glyph, tint, y: float, x: float):
+        yi, xi = int(round(y)), int(round(x))
+        region = frame[yi:yi + self.digit_size, xi:xi + self.digit_size, :]
+        np.maximum(region, glyph[:, :, None] * tint, out=region)
+
+    def _render_linear(self, canvas, r, t_total: int, lim: float):
         for _ in range(self.num_digits):
             glyph = self.glyphs[r.integers(10)]
             tint = (r.uniform(0.5, 1.0, size=self.channels)
@@ -225,10 +255,7 @@ class SyntheticMovingMNIST:
             pos = r.uniform(0, lim, size=2)
             vel = r.uniform(2.0, 5.0, size=2) * r.choice([-1, 1], size=2)
             for t in range(t_total):
-                y, x = int(round(pos[0])), int(round(pos[1]))
-                region = canvas[t, y:y + self.digit_size,
-                                x:x + self.digit_size, :]
-                np.maximum(region, glyph[:, :, None] * tint, out=region)
+                self._stamp(canvas[t], glyph, tint, pos[0], pos[1])
                 pos += vel
                 for k in range(2):  # bounce
                     if pos[k] < 0:
@@ -237,9 +264,48 @@ class SyntheticMovingMNIST:
                     if pos[k] > lim:
                         pos[k] = 2 * lim - pos[k]
                         vel[k] = -vel[k]
-        if self.transform is not None:
-            canvas = self.transform(canvas, rng)
-        return canvas[:self.num_past], canvas[-self.num_future:]
+
+    def _render_dynamic(self, canvas, r, t_total: int, lim: float):
+        """Accelerated + colliding digits, time-major (states interact)."""
+        nd = self.num_digits
+        glyphs = [self.glyphs[r.integers(10)] for _ in range(nd)]
+        tints = [(r.uniform(0.5, 1.0, size=self.channels)
+                  if self.channels > 1 else np.ones(1)) for _ in range(nd)]
+        pos = r.uniform(0, lim, size=(nd, 2))
+        ang = r.uniform(0, 2 * np.pi, size=nd)
+        speed = r.uniform(1.5, 4.0, size=nd)
+        vel = np.stack([speed * np.cos(ang), speed * np.sin(ang)], axis=1)
+        aang = r.uniform(0, 2 * np.pi, size=nd)
+        amag = r.uniform(0.05, 0.18, size=nd)
+        acc = np.stack([amag * np.cos(aang), amag * np.sin(aang)], axis=1)
+        coll_dist = 0.75 * self.digit_size
+        for t in range(t_total):
+            for d in range(nd):
+                self._stamp(canvas[t], glyphs[d], tints[d],
+                            pos[d, 0], pos[d, 1])
+            if self.noise > 0.0:
+                canvas[t] += r.uniform(-self.noise, self.noise,
+                                       size=canvas[t].shape).astype(np.float32)
+                np.clip(canvas[t], 0.0, 1.0, out=canvas[t])
+            vel += acc
+            sp = np.sqrt((vel ** 2).sum(axis=1, keepdims=True))
+            np.divide(vel * 6.0, sp, out=vel, where=sp > 6.0)
+            pos += vel
+            for d in range(nd):
+                for k in range(2):
+                    if pos[d, k] < 0:
+                        pos[d, k] = -pos[d, k]
+                        vel[d, k] = -vel[d, k]
+                    if pos[d, k] > lim:
+                        pos[d, k] = 2 * lim - pos[d, k]
+                        vel[d, k] = -vel[d, k]
+            # elastic velocity swap for approaching near pairs (fixed order)
+            for i in range(nd):
+                for j in range(i + 1, nd):
+                    dc = pos[i] - pos[j]
+                    if (dc ** 2).sum() < coll_dist ** 2 and \
+                            ((vel[i] - vel[j]) * dc).sum() < 0:
+                        vel[[i, j]] = vel[[j, i]]
 
     def get_batch(self, indices, rng: Optional[np.random.Generator] = None):
         """Batch fast-path via the native renderer (native/clipgen.cpp);
@@ -253,7 +319,8 @@ class SyntheticMovingMNIST:
         t_total = self.num_past + self.num_future
         clips = render_clips(self.glyphs, self.seed,
                              np.asarray(indices, np.int64), t_total,
-                             self.size, self.channels, self.num_digits)
+                             self.size, self.channels, self.num_digits,
+                             self.motion, self.noise)
         if clips is None:
             return None
         tf_ = self.transform

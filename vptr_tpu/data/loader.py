@@ -104,7 +104,8 @@ class ClipLoader:
 
         from collections import deque
 
-        with ThreadPoolExecutor(self.num_workers) as ex:
+        ex = ThreadPoolExecutor(self.num_workers)
+        try:
             inflight: deque = deque()
             it = iter(enumerate(batches))
             for _ in range(self.prefetch + self.num_workers):
@@ -117,6 +118,13 @@ class ClipLoader:
                 nxt = next(it, None)
                 if nxt is not None:
                     inflight.append(ex.submit(make, *nxt))
+            ex.shutdown(wait=True)
+        except BaseException:
+            # early consumer exit (steps_per_epoch break / exception /
+            # GeneratorExit): cancel pending batch builds instead of
+            # blocking on up to prefetch+num_workers in-flight futures
+            ex.shutdown(wait=False, cancel_futures=True)
+            raise
 
 
 def build_dataset(cfg, *, split: str = "train", seed: int = 0):
@@ -149,6 +157,8 @@ def build_dataset(cfg, *, split: str = "train", seed: int = 0):
         return SyntheticMovingMNIST(
             num_clips=num_clips, num_past=num_past, num_future=num_future,
             size=cfg.img_size, channels=cfg.img_channels,
+            num_digits=cfg.synthetic_digits,
+            motion=cfg.synthetic_motion, noise=cfg.synthetic_noise,
             seed={"train": 0, "val": 1, "test": 2}[split] + 10 * seed,
             transform=tf)
 

@@ -46,7 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.render_clips.argtypes = [fp, i32, i64, i64p, i32, i32, i32,
-                                     i32, i32, fp]
+                                     i32, i32, i32, ctypes.c_float, fp]
         lib.normalize_u8.argtypes = [u8p, fp, i64, i32, fp, fp]
         lib.normalize_f32.argtypes = [fp, fp, i64, i32, fp, fp]
         _lib = lib
@@ -63,10 +63,13 @@ def _fptr(a: np.ndarray):
 
 def render_clips(glyphs: np.ndarray, seed: int, indices: np.ndarray,
                  t_total: int, size: int, channels: int,
-                 num_digits: int = 2) -> Optional[np.ndarray]:
+                 num_digits: int = 2, motion: str = "linear",
+                 noise: float = 0.0) -> Optional[np.ndarray]:
     """Batch-render bouncing-glyph clips: returns
     (len(indices), t_total, size, size, channels) float32, or None when the
-    native library is unavailable."""
+    native library is unavailable. ``motion``/``noise`` select the linear or
+    dynamic (accelerated + colliding + noisy) generator — see
+    SyntheticMovingMNIST."""
     lib = _load()
     if lib is None:
         return None
@@ -77,7 +80,9 @@ def render_clips(glyphs: np.ndarray, seed: int, indices: np.ndarray,
     lib.render_clips(
         _fptr(glyphs), glyphs.shape[-1], ctypes.c_int64(seed),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, t_total, size, channels, num_digits, _fptr(out))
+        n, t_total, size, channels, num_digits,
+        {"linear": 0, "dynamic": 1}[motion], ctypes.c_float(noise),
+        _fptr(out))
     return out
 
 

@@ -524,6 +524,17 @@ class VPTRFormerNAR(nn.Module):
 
 def build_transformer(cfg, dtype=jnp.float32):
     """Construct the FAR or NAR transformer from a TransformerConfig."""
+    if cfg.fused_conv_ffn and jax.default_backend() == "tpu":
+        # Both conv-FFN kernel shapes compile and run standalone on TPU, but
+        # composing them inside the full jitted train step crashes the remote
+        # Mosaic toolchain — and the kernel measures SLOWER than XLA's own
+        # fusion anyway (BENCH_NOTES.md "Fused conv-FFN"). Refuse early with
+        # a pointer instead of letting the jit die mid-compile.
+        raise ValueError(
+            "transformer.fused_conv_ffn is a measured-slower ablation whose "
+            "full-model composition crashes the TPU Mosaic toolchain; run it "
+            "on CPU (interpret mode) or standalone via "
+            "vptr_tpu.ops.fused_conv_ln. See BENCH_NOTES.md 'Fused conv-FFN'.")
     common = dict(num_past_frames=cfg.num_past_frames,
                   num_future_frames=cfg.num_future_frames,
                   enc_h=cfg.enc_h, enc_w=cfg.enc_w, d_model=cfg.d_model,

@@ -39,6 +39,15 @@ def make_mesh(data: int = -1, model: int = 1,
         data = n // model
     assert data * model <= n, (
         f"mesh {data}x{model} needs more than the {n} available devices")
+    if data * model < n:
+        import logging
+
+        # legal (tests build subset meshes on purpose) but worth a signal:
+        # a mis-specified config (e.g. forgetting data=-1) would otherwise
+        # silently train on a subset of the available chips
+        logging.getLogger("vptr_tpu").warning(
+            "mesh %dx%d uses only %d of %d available devices",
+            data, model, data * model, n)
     arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -273,9 +273,15 @@ class Trainer:
                     state, *self.put_batch(past, future))
                 # keep metrics ON DEVICE: a per-step device_get would sync
                 # the host to every step and stall dispatch pipelining
-                # (measured ~40% step-rate loss); fetch once per epoch
+                # (measured ~40% step-rate loss); fetch in chunks large
+                # enough to amortize the sync but bounded, so long epochs
+                # don't accumulate thousands of live device scalars
                 step_metrics.append(metrics)
                 n_steps += 1
+                if len(step_metrics) >= 128:
+                    for m in jax.device_get(step_metrics):
+                        meters.update(m)
+                    step_metrics = []
             for m in jax.device_get(step_metrics):
                 meters.update(m)
             jax.block_until_ready(state.step)

@@ -269,14 +269,55 @@ def import_nar_transformer(sd: StateDict, num_encoder_layers: int = 4,
     return out
 
 
+def _tolerant_pickle_module():
+    """Pickle shim for the reference's checkpoint envelope.
+
+    ``save_ckpt`` (reference: utils/train_summary.py:130-149) pickles more
+    than tensors: ``loss_dict`` holds ``Loss_tuple`` instances whose class
+    lives in the reference's own ``utils.train_summary`` module, and ``code``
+    is a dict of source-file byte snapshots. Unpickling a genuine checkpoint
+    here would raise ModuleNotFoundError on Loss_tuple. This shim resolves
+    any unresolvable global to a plain stub class, so the envelope loads and
+    the importer can pull out ``Module_state_dict`` and ignore the rest.
+    """
+    import pickle
+    import types
+
+    class _Stub:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+
+    class _TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_Stub,), {"__module__": module})
+
+    shim = types.ModuleType("vptr_tpu._tolerant_pickle")
+    shim.Unpickler = _TolerantUnpickler
+    shim.load = lambda f, **kw: _TolerantUnpickler(f, **kw).load()
+    shim.loads = pickle.loads
+    shim.dumps = pickle.dumps
+    shim.dump = pickle.dump
+    return shim
+
+
 def import_reference_checkpoint(path: str, map_location: str = "cpu") -> dict:
     """Load a reference ``epoch_N.tar`` (utils/train_summary.py:143-149) and
     convert every recognized module. Returns
     ``{module_name: flax_variables}`` keyed by the reference's module-dict
-    names (VPTR_Enc / VPTR_Dec / VPTR_Transformer / ...)."""
+    names (VPTR_Enc / VPTR_Dec / VPTR_Transformer / ...).
+
+    Tolerates the full save_ckpt envelope: ``epoch``, ``loss_dict`` (pickled
+    Loss_tuple instances from the reference's own module namespace),
+    ``optimizer_state_dict``, and the ``code`` source-tree byte snapshot are
+    all loaded (or stubbed) and ignored."""
     import torch
 
-    ckpt = torch.load(path, map_location=map_location, weights_only=False)
+    ckpt = torch.load(path, map_location=map_location, weights_only=False,
+                      pickle_module=_tolerant_pickle_module())
     modules = ckpt["Module_state_dict"]
     out = {}
     for name, sd in modules.items():

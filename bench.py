@@ -1,9 +1,11 @@
-"""Headline benchmark: MovingMNIST 10->10 FAR training throughput per chip.
+"""Headline benchmark: MovingMNIST training throughput per chip.
 
-Measures the full stage-2 FAR training step at the reference geometry
-(train_FAR.py:154-197: 12 encoder layers, d_model 528, heads 8, window 4,
-batch 10, 64x64 frames -> 8x8x528 latents): frozen conv encode, transformer
-forward+backward, frozen decode, AdamW update — in bfloat16 on one chip.
+Default measures the full stage-2 FAR training step at the reference
+geometry (train_FAR.py:154-197: 12 encoder layers, d_model 528, heads 8,
+window 4, batch 10, 64x64 frames -> 8x8x528 latents): frozen conv encode,
+transformer forward+backward, frozen decode, AdamW update — in bfloat16 on
+one chip. ``--preset nar_mnist`` measures the NAR step at the train_NAR
+recipe (4 enc + 8 dec layers, RPE, NCE head, batch 16).
 
 Prints ONE JSON line:
   {"metric": ..., "value": frames/sec/chip, "unit": ..., "vs_baseline": ...}
@@ -28,8 +30,12 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=10,
-                        help="per-chip batch (reference: N=10, train_FAR.py:161)")
+    parser.add_argument("--preset", default="far_mnist",
+                        choices=["far_mnist", "nar_mnist"],
+                        help="which training step to benchmark")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="per-chip batch (default: the preset's "
+                             "reference batch — FAR 10, NAR 16)")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--quick", action="store_true",
@@ -51,10 +57,12 @@ def main():
 
     from vptr_tpu.config import get_preset
     from vptr_tpu.train.trainer import Trainer
-    from vptr_tpu.utils.misc import transformer_step_flops
+    from vptr_tpu.utils.misc import nar_step_flops, transformer_step_flops
 
+    batch = args.batch if args.batch is not None else \
+        get_preset(args.preset).data.batch_size
     overrides = {"dtype": args.dtype,
-                 "data": {"batch_size": args.batch},
+                 "data": {"batch_size": batch},
                  # dropout stays ACTIVE in all modes: the fused kernels run
                  # attention-weight dropout in-kernel (parity semantics)
                  "transformer": {
@@ -65,22 +73,23 @@ def main():
         overrides.update({
             "ae": {"feat_dim": 24, "n_res_blocks": 1},
             "transformer": {"d_model": 24, "n_heads": 4,
-                            "num_encoder_layers": 2},
+                            "num_encoder_layers": 2,
+                            "num_decoder_layers": 2},
         })
-    cfg = get_preset("far_mnist").override(overrides)
+    cfg = get_preset(args.preset).override(overrides)
     trainer = Trainer(cfg, write_outputs=False)
     state = trainer.init_state()
 
     d = cfg.data
     rng = np.random.default_rng(0)
-    past = rng.random((args.batch, d.num_past_frames, d.img_size,
+    past = rng.random((batch, d.num_past_frames, d.img_size,
                        d.img_size, d.img_channels), np.float32)
-    future = rng.random((args.batch, d.num_future_frames, d.img_size,
+    future = rng.random((batch, d.num_future_frames, d.img_size,
                          d.img_size, d.img_channels), np.float32)
-    batch = trainer.put_batch(past, future)
+    b = trainer.put_batch(past, future)
 
     for _ in range(args.warmup):
-        state, metrics = trainer.train_step(state, *batch)
+        state, metrics = trainer.train_step(state, *b)
     # NOTE: block_until_ready does not actually synchronize on the axon
     # relay platform — only a host fetch of a dependent value does. The
     # fetched loss depends transitively on every step in the chain.
@@ -88,21 +97,29 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, metrics = trainer.train_step(state, *batch)
+        state, metrics = trainer.train_step(state, *b)
     float(metrics["T_total"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = args.steps / dt
-    # frames processed by the transformer per step (teacher forcing:
-    # Tp + Tf - 1 frames in, same count predicted)
-    frames_per_step = args.batch * (d.num_past_frames + d.num_future_frames - 1)
-    frames_per_sec = steps_per_sec * frames_per_step
-
     t = cfg.transformer
-    flops = transformer_step_flops(
-        args.batch, d.num_past_frames + d.num_future_frames - 1,
-        t.enc_h, t.enc_w, t.d_model, t.n_heads, t.num_encoder_layers,
-        t.window_size, t.spatial_ffn_hidden_ratio, backward=True)
+    if cfg.stage == "far":
+        # frames processed by the transformer per step (teacher forcing:
+        # Tp + Tf - 1 frames in, same count predicted)
+        frames_per_step = batch * (d.num_past_frames + d.num_future_frames - 1)
+        flops = transformer_step_flops(
+            batch, d.num_past_frames + d.num_future_frames - 1,
+            t.enc_h, t.enc_w, t.d_model, t.n_heads, t.num_encoder_layers,
+            t.window_size, t.spatial_ffn_hidden_ratio, backward=True)
+    else:
+        # NAR predicts all Tf future frames in one shot
+        frames_per_step = batch * d.num_future_frames
+        flops = nar_step_flops(
+            batch, d.num_past_frames, d.num_future_frames,
+            t.enc_h, t.enc_w, t.d_model, t.n_heads, t.num_encoder_layers,
+            t.num_decoder_layers, t.window_size,
+            t.spatial_ffn_hidden_ratio, backward=True)
+    frames_per_sec = steps_per_sec * frames_per_step
     achieved_tflops = flops * steps_per_sec / 1e12
 
     # analytic A100 baseline for the torch reference (see module docstring)
@@ -113,12 +130,12 @@ def main():
             "achieved_tflops": round(achieved_tflops, 2),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
-            "batch": args.batch,
+            "batch": batch,
             "losses": {k: float(v) for k, v in metrics.items()}}
     print(json.dumps(diag), file=sys.stderr)
 
     print(json.dumps({
-        "metric": "far_mnist_train_frames_per_sec_per_chip",
+        "metric": f"{cfg.name}_train_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / a100_frames_per_sec, 3),

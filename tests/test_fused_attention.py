@@ -189,3 +189,190 @@ def test_mha_fused_full_cross_attention_falls_back():
     b = full.apply(params, q, kv, kv)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_fused_padded_tokens_matches_reference(use_bias):
+    """Token counts that are NOT a sublane multiple (e.g. the T=19 temporal
+    attention) are padded in-kernel with -1e30-masked key columns; fwd and
+    every grad must still match the unpadded XLA reference."""
+    bw, tokens, c, heads = 6, 19, 32, 4      # 19 % 8 != 0 (f32 sublane)
+    x_qk = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    x_v = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    causal = np.triu(np.full((tokens, tokens), -1e30, np.float32), k=1)
+    bias = jnp.asarray(causal)[None] if use_bias else None
+
+    ref = _reference_attention(x_qk, x_v, *params,
+                               (jnp.broadcast_to(bias, (heads,) + bias.shape[1:])
+                                if use_bias else None), num_heads=heads)
+    got = fused_attention(x_qk, x_v, *params, bias, 0, heads, 0.0, 4, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fused(x_qk, x_v, *params):
+        return jnp.sum(fused_attention(x_qk, x_v, *params, bias,
+                                       0, heads, 0.0, 4, True) ** 2)
+
+    def loss_ref(x_qk, x_v, *params):
+        b = (jnp.broadcast_to(bias, (heads, tokens, tokens))
+             if use_bias else None)
+        return jnp.sum(_reference_attention(
+            x_qk, x_v, *params, b, num_heads=heads) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(10)))(x_qk, x_v, *params)
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(x_qk, x_v, *params)
+    names = ["x_qk", "x_v", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]
+    for name, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_fused_padded_tokens_dropout():
+    """Padded path with in-kernel dropout: matches the oracle keep mask
+    generated at the PADDED token count and sliced back."""
+    bw, tokens, c, heads, rate, seed = 6, 19, 32, 4, 0.3, 77
+    lp = 24                                   # 19 -> next f32 sublane multiple
+    x = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    keep = dropout_keep_mask(seed, bw, heads, lp, rate)[:, :, :tokens, :tokens]
+
+    got = fused_attention(x, x, *params, None, seed, heads, rate, 4, True)
+    ref = _reference_attention(x, x, *params, None, num_heads=heads,
+                               keep=keep, rate=rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mha_fused_full_unaligned_tokens_routes_to_kernel():
+    """The L=19 causal (FAR temporal) case now runs the fully-fused kernel
+    and must match the unfused module exactly, grads included."""
+    dim, heads, L, B = 32, 4, 19, 4
+    x = jnp.asarray(RNG.normal(size=(B, L, dim)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, L, dim)).astype(np.float32))
+    mask = jnp.asarray(np.triu(np.ones((L, L), bool), k=1))
+    plain = MultiHeadAttention(dim, heads, fused=False)
+    full = MultiHeadAttention(dim, heads, fused=True, fused_full=True,
+                              fused_block=8)
+    params = plain.init(jax.random.PRNGKey(0), x, x, x)
+    a = plain.apply(params, x, x, v, mask=mask)
+    b = full.apply(params, x, x, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(mod):
+        return lambda p: jnp.sum(mod.apply(p, x, x, v, mask=mask) ** 2)
+
+    ga = jax.grad(loss(plain))(params)
+    gb = jax.grad(loss(full))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3), ga, gb)
+
+
+@pytest.mark.parametrize("tokens,use_pos,use_bias",
+                         [(16, True, False),   # encoder window attention
+                          (16, False, True),   # rpe window attention
+                          (19, True, True)])   # causal temporal, padded
+def test_fused_ln_matches_reference(tokens, use_pos, use_bias):
+    """LN-folded single-input kernel: fwd + all grads (incl. the LayerNorm
+    affine and THROUGH the norm to x) vs the XLA oracle."""
+    from vptr_tpu.ops.fused_window_attention import (
+        _reference_attention_ln,
+        fused_attention_ln,
+    )
+
+    bw, c, heads = 6, 32, 4
+    x = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    ls = jnp.asarray(1.0 + 0.1 * RNG.normal(size=(c,)).astype(np.float32))
+    lb = jnp.asarray(0.1 * RNG.normal(size=(c,)).astype(np.float32))
+    pos = (jnp.asarray(RNG.normal(size=(tokens, c)).astype(np.float32))
+           if use_pos else None)
+    bias = (jnp.asarray(RNG.normal(size=(heads, tokens, tokens))
+                        .astype(np.float32)) if use_bias else None)
+
+    ref = _reference_attention_ln(x, *params, ls, lb, pos, bias,
+                                  num_heads=heads)
+    got = fused_attention_ln(x, *params, ls, lb, pos, bias, 0, heads,
+                             0.0, 4, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fused(x, *pt):
+        return jnp.sum(fused_attention_ln(x, *pt[:8], pt[8], pt[9], pos,
+                                          bias, 0, heads, 0.0, 4, True) ** 2)
+
+    def loss_ref(x, *pt):
+        return jnp.sum(_reference_attention_ln(
+            x, *pt[:8], pt[8], pt[9], pos, bias, num_heads=heads) ** 2)
+
+    args = (x,) + params + (ls, lb)
+    gf = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(11)))(*args)
+    names = ["x", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "ls", "lb"]
+    for name, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_fused_ln_dropout():
+    from vptr_tpu.ops.fused_window_attention import (
+        _reference_attention_ln,
+        fused_attention_ln,
+    )
+
+    bw, tokens, c, heads, rate, seed = 6, 16, 32, 4, 0.3, 55
+    x = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    ls = jnp.ones((c,), jnp.float32)
+    lb = jnp.zeros((c,), jnp.float32)
+    keep = dropout_keep_mask(seed, bw, heads, tokens, rate)
+    got = fused_attention_ln(x, *params, ls, lb, None, None, seed, heads,
+                             rate, 4, True)
+    ref = _reference_attention_ln(x, *params, ls, lb, None, None,
+                                  num_heads=heads, keep=keep, rate=rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mha_ln_folding_matches_explicit_norm():
+    """MultiHeadAttention(ln=...) on raw x == LayerNorm in XLA then MHA —
+    for the folded kernel path AND the unfused fallback, grads included."""
+    from vptr_tpu.models.layers import layernorm_xla
+
+    dim, heads, L, B = 32, 4, 19, 4
+    x = jnp.asarray(RNG.normal(size=(B, L, dim)).astype(np.float32))
+    pos = jnp.asarray(RNG.normal(size=(L, dim)).astype(np.float32))
+    mask = jnp.asarray(np.triu(np.ones((L, L), bool), k=1))
+    ls = jnp.asarray(1.0 + 0.1 * RNG.normal(size=(dim,)).astype(np.float32))
+    lb = jnp.asarray(0.1 * RNG.normal(size=(dim,)).astype(np.float32))
+
+    plain = MultiHeadAttention(dim, heads, fused=False)
+    params = plain.init(jax.random.PRNGKey(0), x, x, x)
+
+    xn = layernorm_xla(x, ls, lb, jnp.float32)
+    want = plain.apply(params, xn + pos, xn + pos, xn, mask=mask)
+
+    for fused, full in [(False, False), (True, True)]:
+        mod = MultiHeadAttention(dim, heads, fused=fused, fused_full=full,
+                                 fused_block=8)
+        got = mod.apply(params, x, x, x, mask=mask, ln=(ls, lb), qk_pos=pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"fused={fused}")
+
+    def loss(mod, with_ln):
+        if with_ln:
+            return lambda p: jnp.sum(mod.apply(
+                p, x, x, x, mask=mask, ln=(ls, lb), qk_pos=pos) ** 2)
+        return lambda p: jnp.sum(mod.apply(
+            p, xn + pos, xn + pos, xn, mask=mask) ** 2)
+
+    ga = jax.grad(loss(plain, False))(params)
+    gb = jax.grad(loss(MultiHeadAttention(dim, heads, fused=True,
+                                          fused_full=True, fused_block=8),
+                       True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3), ga, gb)

@@ -53,3 +53,19 @@ def test_average_meters():
     m.update({"loss": 3.0, "acc": 0.5})
     assert m.averages() == {"loss": 2.0, "acc": 0.5}
     assert m["loss"] == 2.0
+
+
+def test_nar_step_flops_sanity():
+    from vptr_tpu.utils.misc import nar_step_flops, transformer_step_flops
+
+    fwd = nar_step_flops(2, 4, 4, 8, 8, 64, 4, 2, 2, 4, backward=False)
+    assert fwd > 0
+    # backward triples
+    assert nar_step_flops(2, 4, 4, 8, 8, 64, 4, 2, 2, 4) == 3 * fwd
+    # a decoder layer costs more than an encoder layer at the same t
+    # (extra enc-dec attention + second conv FFN), so the NAR stack at
+    # (enc=N, dec=N) must exceed an encoder-only stack of 2N layers ... at
+    # least when tp == tf
+    enc_only = transformer_step_flops(2, 4, 8, 8, 64, 4, 4, 4,
+                                      backward=False)
+    assert fwd > enc_only

@@ -216,3 +216,61 @@ def test_scan_layers_far_matches_unrolled():
     b = scanned.apply(svars, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["far", "nar"])
+def test_fused_full_ln_folded_matches_in_model(variant):
+    """fused_full (whole-sublayer kernels with the leading LayerNorms folded
+    in, temporal attention padded in-kernel) must match the unfused model on
+    the SAME param tree — outputs and grads."""
+    if variant == "far":
+        base = dict(num_past_frames=3, num_future_frames=3,
+                    num_encoder_layers=1, **TINY)
+        mk = lambda **kw: VPTRFormerFAR(**base, **kw)
+    else:
+        base = dict(num_past_frames=3, num_future_frames=3,
+                    num_encoder_layers=1, num_decoder_layers=1, rpe=True,
+                    **TINY)
+        mk = lambda **kw: VPTRFormerNAR(**base, **kw)
+    model_a = mk(fused_attention=False)
+    model_b = mk(fused_attention=True, fused_full=True)
+    x = _feats(2, 5 if variant == "far" else 3)
+    variables = model_a.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(model_b.init(jax.random.PRNGKey(0), x))
+    out_a = model_a.apply(variables, x)
+    out_b = model_b.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(m):
+        return lambda v: jnp.mean(m.apply(v, x) ** 2)
+
+    ga = jax.grad(loss(model_a))(variables)
+    gb = jax.grad(loss(model_b))(variables)
+
+    def close(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        # per-leaf scale-relative: float noise near zero crossings of large
+        # grads is not a real divergence
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() <= 2e-3 * scale + 2e-5, \
+            (jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+
+    jax.tree_util.tree_map_with_path(close, ga, gb)
+
+
+def test_nar_tslma_fused_matches_unfused():
+    """TSLMA + enc-dec attention now route through the fused core kernel
+    when eligible; outputs must be unchanged (eval mode)."""
+    base = dict(num_past_frames=3, num_future_frames=3,
+                num_encoder_layers=1, num_decoder_layers=1, tslma=True,
+                rpe=True, **TINY)
+    model_a = VPTRFormerNAR(fused_attention=False, **base)
+    model_b = VPTRFormerNAR(fused_attention=True, **base)
+    x = _feats(2, 3)
+    variables = model_a.init(jax.random.PRNGKey(0), x)
+    out_a = model_a.apply(variables, x)
+    out_b = model_b.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)

@@ -50,6 +50,27 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LnScaleBias(nn.Module):
+    """Parameter holder shaped exactly like ``nn.LayerNorm`` ({scale, bias})
+    so the LN-folded fused attention path shares checkpoints with the
+    XLA path (the block-level norm1/norm3 params stay at the block level)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
+def layernorm_xla(x, scale, bias, dtype, epsilon: float = 1e-5):
+    """nn.LayerNorm semantics from explicit affine arrays (f32 stats)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    return (y * scale + bias).astype(dtype)
+
+
 def relative_position_index(window: int) -> np.ndarray:
     """Precomputed (win^2, win^2) index into the (2w-1)^2 bias table.
 
@@ -132,8 +153,15 @@ class MultiHeadAttention(nn.Module):
                                # HBM at larger batch (padded logit residuals)
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None,
-                 deterministic: bool = True):
+    def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None, ln=None,
+                 qk_pos=None, deterministic: bool = True):
+        """``ln``: optional (scale, bias) of the sublayer's leading
+        LayerNorm — callers then pass the RAW (pre-norm) x as q_in=k_in=v_in
+        and the module computes q/k = LN(x) + qk_pos, v = LN(x). On the
+        fully-fused path the norm runs inside the Pallas kernel (an XLA-side
+        LN cannot fuse across the opaque kernel boundary); other paths apply
+        it in XLA first. ``qk_pos``: optional non-learned (L, C) position
+        table added to q/k only."""
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
 
@@ -152,25 +180,53 @@ class MultiHeadAttention(nn.Module):
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
 
+        def dense_params():
+            params = [_DenseParams(self.dim, self.kernel_init, name=n)(
+                self.dim) for n in ("q_proj", "k_proj", "v_proj", "out_proj")]
+            return [(w.astype(self.dtype), b.astype(jnp.float32))
+                    for w, b in params]
+
+        if ln is not None:
+            assert q_in is k_in and k_in is v_in, \
+                "ln folding expects the raw x as q_in = k_in = v_in"
+            if (self.fused and self.fused_full and
+                    q_in.shape[-1] == self.dim):
+                from vptr_tpu.ops.fused_window_attention import \
+                    fused_attention_ln
+
+                rate = 0.0 if deterministic else self.dropout
+                (wq, bq), (wk, bk), (wv, bv), (wo, bo) = dense_params()
+                lead, l = q_in.shape[:-2], q_in.shape[-2]
+                out = fused_attention_ln(
+                    q_in.reshape((-1, l, self.dim)).astype(self.dtype),
+                    wq, bq, wk, bk, wv, bv, wo, bo,
+                    ln[0], ln[1],
+                    (qk_pos.astype(jnp.float32)
+                     if qk_pos is not None else None),
+                    full_bias_of(bias, mask), dropout_seed(rate),
+                    self.num_heads, rate, self.fused_full_blocks[0],
+                    jax.default_backend() != "tpu",
+                    self.fused_full_blocks[1])
+                return out.reshape(lead + (l, self.dim))
+            # non-folded paths: materialize the norm in XLA, continue below
+            xn = layernorm_xla(q_in, ln[0], ln[1], self.dtype)
+            q_in = k_in = (xn + qk_pos.astype(xn.dtype)
+                           if qk_pos is not None else xn)
+            v_in = xn
+
         # the projection-fused kernel merges (tiles, tokens, C) -> 2D for its
-        # full-width GEMMs; Mosaic can only lower that shape cast when the
-        # token count is a sublane-tile multiple (bf16: 16, f32: 8). Window
-        # attention (win^2 = 16 tokens) qualifies; the T=19 temporal
-        # attention falls back to the attention-core kernel below.
-        sublane = 16 if self.dtype == jnp.bfloat16 else 8
+        # full-width GEMMs; when the token count is not a sublane-tile
+        # multiple (bf16: 16, f32: 8) the ops layer pads it in (masked
+        # softmax columns), so e.g. the T=19 temporal attention runs fully
+        # fused at T=32 instead of falling back to the core kernel.
         use_full = (self.fused and self.fused_full and q_in is k_in and
                     v_in.shape == q_in.shape and
-                    q_in.shape[-1] == self.dim and
-                    q_in.shape[-2] % sublane == 0)
+                    q_in.shape[-1] == self.dim)
         if use_full:
             from vptr_tpu.ops.fused_window_attention import fused_attention
 
             rate = 0.0 if deterministic else self.dropout
-            params = [_DenseParams(self.dim, self.kernel_init, name=n)(
-                self.dim) for n in ("q_proj", "k_proj", "v_proj", "out_proj")]
-            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = [
-                (w.astype(self.dtype), b.astype(jnp.float32))
-                for w, b in params]
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = dense_params()
             lead = q_in.shape[:-2]
             l = q_in.shape[-2]
             flat = lambda z: z.reshape((-1, l, self.dim)).astype(self.dtype)
@@ -252,7 +308,11 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos2d, *, value=None, deterministic: bool = True):
+    def __call__(self, x, pos2d, *, value=None, ln=None,
+                 deterministic: bool = True):
+        """``ln``: optional (scale, bias) of the block's leading LayerNorm —
+        pass the RAW pre-norm x then; the norm folds into the fused kernel
+        (or runs in XLA on fallback paths). Requires ``value is None``."""
         n, t, h, w, c = x.shape
         tokens = self.window * self.window
 
@@ -271,20 +331,25 @@ class WindowAttention(nn.Module):
             return window_partition(y, self.window), offs, y.shape[1:3]
 
         xw, offs, padded_hw = to_windows(x)
-        if self.rpe:
-            qk_in = xw
-        else:
-            qk_in = xw + pos2d.reshape(1, tokens, c).astype(xw.dtype)
-        if value is None:
-            vw = xw
-        else:
-            vw, _, _ = to_windows(value)
-
-        out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+        mha = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                  dtype=self.dtype, fused=self.fused,
-                                 fused_full=self.fused_full,
-                                 name="attn")(
-            qk_in, qk_in, vw, bias=bias, deterministic=deterministic)
+                                 fused_full=self.fused_full, name="attn")
+        if ln is not None:
+            assert value is None, "ln folding requires value is None"
+            qk_pos = None if self.rpe else pos2d.reshape(tokens, c)
+            out = mha(xw, xw, xw, bias=bias, ln=ln, qk_pos=qk_pos,
+                      deterministic=deterministic)
+        else:
+            if self.rpe:
+                qk_in = xw
+            else:
+                qk_in = xw + pos2d.reshape(1, tokens, c).astype(xw.dtype)
+            if value is None:
+                vw = xw
+            else:
+                vw, _, _ = to_windows(value)
+            out = mha(qk_in, qk_in, vw, bias=bias,
+                      deterministic=deterministic)
         out = window_reverse(out, self.window, padded_hw)
         out = unpad_from_window(out, (h, w), offs)
         return out.reshape(n, t, h, w, c)
@@ -313,8 +378,10 @@ class TemporalAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_q, *, kv=None, pos_k=None,
+    def __call__(self, x, pos_q, *, kv=None, pos_k=None, ln=None,
                  deterministic: bool = True):
+        """``ln``: optional (scale, bias) — pass RAW pre-norm x; the norm
+        folds into the fused kernel (self-attention only, ``kv is None``)."""
         n, t, h, w, c = x.shape
         # (N, T, H, W, C) -> (N, H*W, T, C): batch over columns, attend over T.
         def cols(y):
@@ -337,6 +404,21 @@ class TemporalAttention(nn.Module):
             return jax.lax.with_sharding_constraint(
                 y, P(P.UNCONSTRAINED, "model", None, None))
 
+        mask = None
+        if self.causal and kv is None:
+            mask = np.triu(np.ones((t, t), dtype=bool), k=1)
+            mask = jnp.asarray(mask)
+
+        mha = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                 dtype=self.dtype, fused=self.fused,
+                                 fused_full=self.fused_full, name="attn")
+        if ln is not None:
+            assert kv is None, "ln folding requires self-attention (kv=None)"
+            xc = sp_shard(cols(x))
+            out = mha(xc, xc, xc, mask=mask, ln=ln, qk_pos=pos_q,
+                      deterministic=deterministic)
+            return out.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
         q_in = sp_shard(cols(x) + pos_q[None, None, :, :].astype(x.dtype))
         if kv is None:
             k_in, v_in = q_in, sp_shard(cols(x))
@@ -345,16 +427,7 @@ class TemporalAttention(nn.Module):
             k_in = sp_shard(kcols + pos_k[None, None, :, :].astype(x.dtype))
             v_in = sp_shard(kcols)
 
-        mask = None
-        if self.causal and kv is None:
-            mask = np.triu(np.ones((t, t), dtype=bool), k=1)
-            mask = jnp.asarray(mask)
-
-        out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                 dtype=self.dtype, fused=self.fused,
-                                 fused_full=self.fused_full,
-                                 name="attn")(
-            q_in, k_in, v_in, mask=mask, deterministic=deterministic)
+        out = mha(q_in, k_in, v_in, mask=mask, deterministic=deterministic)
         return out.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
 

@@ -31,6 +31,7 @@ from vptr_tpu.models.layers import (
     MultiHeadAttention,
     TemporalAttention,
     WindowAttention,
+    _LnScaleBias,
     xavier_uniform,
 )
 from vptr_tpu.models.position import (
@@ -72,14 +73,22 @@ class EncoderBlock(nn.Module):
         ffn_norm = self.conv_ffn_norm or ("layer" if self.far else "batch")
         attn_drop = (self.dropout if self.attn_dropout is None
                      else self.attn_dropout)
+        # fully-fused path: fold the attention sublayers' leading LayerNorms
+        # into the Pallas kernels (param tree unchanged — norm1/norm3 stay
+        # {scale, bias} at the block level)
+        fold = self.fused_attention and self.fused_full
 
         # 1) local-window spatial self-attention
-        y = WindowAttention(self.dim, self.num_heads, self.window,
-                            attn_drop, rpe=self.rpe,
-                            fused=self.fused_attention,
-                            fused_full=self.fused_full, dtype=self.dtype,
-                            name="slmhsa")(
-            ln("norm1")(x), pos2d, deterministic=deterministic)
+        wa = WindowAttention(self.dim, self.num_heads, self.window,
+                             attn_drop, rpe=self.rpe,
+                             fused=self.fused_attention,
+                             fused_full=self.fused_full, dtype=self.dtype,
+                             name="slmhsa")
+        if fold:
+            y = wa(x, pos2d, ln=_LnScaleBias(name="norm1")(self.dim),
+                   deterministic=deterministic)
+        else:
+            y = wa(ln("norm1")(x), pos2d, deterministic=deterministic)
         x = x + dp(y, deterministic=deterministic)
 
         # 2) conv feed-forward (cross-window mixing)
@@ -90,12 +99,16 @@ class EncoderBlock(nn.Module):
         x = x + dp(y, deterministic=deterministic)
 
         # 3) temporal attention per spatial location
-        y = TemporalAttention(self.dim, self.num_heads, attn_drop,
-                              causal=self.far, fused=self.fused_attention,
-                              fused_full=self.fused_full,
-                              sp=self.sequence_parallel,
-                              dtype=self.dtype, name="temporal")(
-            ln("norm3")(x), pos_t, deterministic=deterministic)
+        ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
+                               causal=self.far, fused=self.fused_attention,
+                               fused_full=self.fused_full,
+                               sp=self.sequence_parallel,
+                               dtype=self.dtype, name="temporal")
+        if fold:
+            y = ta(x, pos_t, ln=_LnScaleBias(name="norm3")(self.dim),
+                   deterministic=deterministic)
+        else:
+            y = ta(ln("norm3")(x), pos_t, deterministic=deterministic)
         x = x + drop(y)
 
         # 4) linear feed-forward
@@ -153,13 +166,20 @@ class DecoderBlockNAR(nn.Module):
             ln("norm2")(tgt), deterministic=deterministic, train=train)
         tgt = tgt + dp(y, deterministic=deterministic)
 
-        # 3) temporal self-attention over the Tf query frames
-        y = TemporalAttention(self.dim, self.num_heads, attn_drop,
-                              fused=self.fused_attention,
-                              fused_full=self.fused_full,
-                              sp=self.sequence_parallel, dtype=self.dtype,
-                              name="temporal")(
-            ln("norm3")(tgt), pos_t_future, deterministic=deterministic)
+        # 3) temporal self-attention over the Tf query frames (LN folded
+        #    into the kernel on the fully-fused path, like the encoder)
+        ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
+                               fused=self.fused_attention,
+                               fused_full=self.fused_full,
+                               sp=self.sequence_parallel, dtype=self.dtype,
+                               name="temporal")
+        if self.fused_attention and self.fused_full:
+            y = ta(tgt, pos_t_future,
+                   ln=_LnScaleBias(name="norm3")(self.dim),
+                   deterministic=deterministic)
+        else:
+            y = ta(ln("norm3")(tgt), pos_t_future,
+                   deterministic=deterministic)
         tgt = tgt + drop(y)
 
         # 4) linear FFN
@@ -172,12 +192,15 @@ class DecoderBlockNAR(nn.Module):
         t5 = ln("norm5")(tgt)
         if self.tslma:
             y = TSLMA(self.dim, self.num_heads, self.window, self.dropout,
-                      dtype=self.dtype, name="tslma")(
+                      fused=self.fused_attention, dtype=self.dtype,
+                      name="tslma")(
                 memory, t5 + query_pos, pos3d, deterministic=deterministic)
         else:
             # full attention over time, per spatial location; query carries
             # query_pos + future temporal pos (VidHRFormer_modules.py:200-206)
+            # (fused core kernel applies when Tp == Tf — q/k shapes match)
             y = TemporalAttention(self.dim, self.num_heads, attn_drop,
+                                  fused=self.fused_attention,
                                   sp=self.sequence_parallel,
                                   dtype=self.dtype, name="enc_dec")(
                 t5 + query_pos, pos_t_future, kv=memory, pos_k=pos_t_past,
@@ -201,6 +224,7 @@ class TSLMA(nn.Module):
     num_heads: int
     window: int = 4
     dropout: float = 0.0
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +240,8 @@ class TSLMA(nn.Module):
         pos_k = pos[:t1].reshape(1, t1 * win2, c).astype(mem_w.dtype)
         pos_q = pos[t1:t1 + t2].reshape(1, t2 * win2, c).astype(qry_w.dtype)
         out = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                 dtype=self.dtype, name="attn")(
+                                 fused=self.fused, dtype=self.dtype,
+                                 name="attn")(
             qry_w + pos_q, mem_w + pos_k, mem_w, deterministic=deterministic)
         return temporal_window_reverse(out, self.window, t2, (h, w))
 

@@ -170,6 +170,35 @@ def _prep(bias, num_heads, tokens, seed):
     return bias, use_bias, seed
 
 
+def _pad_tokens(x_qk, x_v, bias, g=None):
+    """Pad the token axis up to a sublane-tile multiple so the kernel's
+    (tiles, T, C) <-> 2D shape casts lower (Mosaic requirement).
+
+    Padded KEY columns are masked with -1e30 bias (softmax weight exactly 0
+    for every real query); padded QUERY rows attend over real keys but their
+    outputs are sliced away and their cotangents arrive as zeros, so no
+    gradient flows through them (padded x rows are zero, so they contribute
+    nothing to weight grads either). This lifts the T % sublane caller gate —
+    e.g. the T=19 temporal attention pads to 32 in-kernel. The XLA-side pad
+    fuses into the producer of x (a transpose), so the copy is ~free.
+    """
+    l = x_qk.shape[1]
+    sublane = 16 if x_qk.dtype == jnp.bfloat16 else 8
+    lp = -(-l // sublane) * sublane
+    if lp == l:
+        return x_qk, x_v, bias, g, l
+    pad3 = lambda z: jnp.pad(z, ((0, 0), (0, lp - l), (0, 0)))
+    x_qk, x_v = pad3(x_qk), pad3(x_v)
+    if g is not None:
+        g = pad3(g)
+    nb = bias.shape[0] if bias is not None else 1
+    pb = jnp.zeros((nb, lp, lp), jnp.float32)
+    pb = pb.at[:, :, l:].set(jnp.float32(-1e30))
+    if bias is not None:
+        pb = pb.at[:, :l, :l].set(bias.astype(jnp.float32))
+    return x_qk, x_v, pb, g, l
+
+
 def _specs(c, num_heads, tokens, tb):
     mat = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -186,6 +215,7 @@ def _specs(c, num_heads, tokens, tb):
 def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
                    num_heads: int, rate: float, block_windows: int,
                    interpret: bool):
+    x_qk, x_v, bias, _, l_orig = _pad_tokens(x_qk, x_v, bias)
     bw, tokens, c = x_qk.shape
     bias, use_bias, seed = _prep(bias, num_heads, tokens, seed)
 
@@ -212,7 +242,9 @@ def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
         out_specs=seq(),
         interpret=interpret,
     )(seed, x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias)
-    return out[:bw] if pad else out
+    if pad:
+        out = out[:bw]
+    return out[:, :l_orig] if l_orig != tokens else out
 
 
 def _bwd_kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
@@ -326,8 +358,9 @@ def _bwd_kernel(seed_ref, xqk_ref, xv_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
                     num_heads: int, rate: float, block_windows: int,
                     interpret: bool):
+    x_qk, x_v, bias_p, g, l_orig = _pad_tokens(x_qk, x_v, bias, g)
     bw, tokens, c = x_qk.shape
-    bias_in, use_bias, seed_in = _prep(bias, num_heads, tokens, seed)
+    bias_in, use_bias, seed_in = _prep(bias_p, num_heads, tokens, seed)
 
     tb = min(block_windows, bw)
     pad = (-bw) % tb
@@ -372,6 +405,8 @@ def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
     dxqk, dxv = outs[0], outs[1]
     if pad:
         dxqk, dxv = dxqk[:bw], dxv[:bw]
+    if l_orig != tokens:
+        dxqk, dxv = dxqk[:, :l_orig], dxv[:, :l_orig]
     dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dbias = outs[2:]
     cast = lambda grad, ref: grad.astype(ref.dtype)
     grads = (dxqk, dxv, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),
@@ -379,11 +414,390 @@ def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
              cast(dbo, bo))
     if bias is None:
         dbias_out = None
-    elif bias.shape[0] == 1:
-        dbias_out = jnp.sum(dbias, axis=0, keepdims=True).astype(bias.dtype)
     else:
-        dbias_out = dbias.astype(bias.dtype)
+        dbias = dbias[:, :l_orig, :l_orig]
+        if bias.shape[0] == 1:
+            dbias_out = jnp.sum(dbias, axis=0,
+                                keepdims=True).astype(bias.dtype)
+        else:
+            dbias_out = dbias.astype(bias.dtype)
     return grads + (dbias_out,)
+
+
+# ---------------------------------------------------------------------------
+# LN-folded single-input variant: LayerNorm + q/k positional add + the whole
+# attention sublayer in one kernel.
+#
+# Every Pallas call is an opaque boundary to XLA fusion, so the sublayer's
+# leading LayerNorm otherwise materializes its output to HBM just to feed the
+# kernel (and again in backward). Folding it in — per-token stats over the
+# lane axis, like the in-kernel softmax — removes that round-trip, and the
+# single shared input stream replaces the separate x_qk/x_v DMAs of the
+# generic kernel. Covers the encoder sublayers: q/k = LN(x) + pos (pos a
+# shared (tokens, C) constant — the 2D window or 1D temporal sine table,
+# never learned), v = LN(x), with optional logit bias (RPE table / causal
+# mask). The NAR decoder's per-window query_pos case stays on the generic
+# kernel.
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x2, ls, lb, eps: float = 1e-5):
+    """Per-row LayerNorm over the lane axis; returns (xn f32, xhat, rstd)."""
+    mean = jnp.mean(x2, axis=1, keepdims=True)
+    xc = x2 - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + jnp.float32(eps))
+    xhat = xc * rstd
+    return xhat * ls + lb, xhat, rstd
+
+
+def _reference_attention_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
+                            bias, num_heads: int, keep=None,
+                            rate: float = 0.0):
+    """XLA oracle: LN (f32 stats, cast to x.dtype) -> +pos on q/k -> MHA."""
+    bw, t, c = x.shape
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * ls + lb).astype(x.dtype)
+    xqk = xn + pos[None].astype(x.dtype) if pos is not None else xn
+    return _reference_attention(xqk, xn, wq, bq, wk, bk, wv, bv, wo, bo,
+                                bias, num_heads, keep=keep, rate=rate)
+
+
+def _kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+               bv_ref, wo_ref, bo_ref, ls_ref, lb_ref, pos_ref, bias_ref,
+               o_ref, *, num_heads: int, tokens: int, use_bias: bool,
+               use_pos: bool, rate: float):
+    i = pl.program_id(0)
+    tb = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    x2 = x_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    xn32, _, _ = _ln_rows(x2, ls_ref[:], lb_ref[:])
+    xn = xn32.astype(x_ref.dtype)
+    if use_pos:
+        xqk = (xn.reshape(tb, tokens, c)
+               + pos_ref[:][None].astype(x_ref.dtype)).reshape(tb * tokens, c)
+    else:
+        xqk = xn
+
+    q3 = _proj(xqk, wq_ref, bq_ref, tb, tokens, c)
+    k3 = _proj(xqk, wk_ref, bk_ref, tb, tokens, c)
+    v3 = _proj(xn, wv_ref, bv_ref, tb, tokens, c)
+
+    attn_parts = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        _, w_drop, _, _, _, vh = _head_attention(
+            q3, k3, v3, bias_ref, seed_ref, i, h, sl, use_bias=use_bias,
+            rate=rate, num_heads=num_heads)
+        attn_parts.append(jax.lax.dot_general(
+            w_drop, vh, _BATCHED_AV,
+            preferred_element_type=jnp.float32).astype(q3.dtype))
+    attn2 = jnp.concatenate(attn_parts, axis=-1).reshape(tb * tokens, c)
+    out = jnp.dot(attn2, wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(tb, tokens, c)
+
+
+def _ln_pad(x, bias, pos, g=None):
+    """Token-axis padding for the single-input LN kernel (see _pad_tokens)."""
+    l = x.shape[1]
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    lp = -(-l // sublane) * sublane
+    if lp == l:
+        return x, bias, pos, g, l
+    pad3 = lambda z: jnp.pad(z, ((0, 0), (0, lp - l), (0, 0)))
+    x = pad3(x)
+    if g is not None:
+        g = pad3(g)
+    if pos is not None:
+        pos = jnp.pad(pos, ((0, lp - l), (0, 0)))
+    nb = bias.shape[0] if bias is not None else 1
+    pb = jnp.zeros((nb, lp, lp), jnp.float32)
+    pb = pb.at[:, :, l:].set(jnp.float32(-1e30))
+    if bias is not None:
+        pb = pb.at[:, :l, :l].set(bias.astype(jnp.float32))
+    return x, pb, pos, g, l
+
+
+def _ln_specs(c, num_heads, tokens, tb):
+    mat, vec, seq, bias_spec = _specs(c, num_heads, tokens, tb)
+    posspec = lambda: pl.BlockSpec((tokens, c), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return mat, vec, seq, bias_spec, posspec
+
+
+def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
+                      seed, num_heads: int, rate: float, block_windows: int,
+                      interpret: bool):
+    x, bias, pos, _, l_orig = _ln_pad(x, bias, pos)
+    bw, tokens, c = x.shape
+    bias, use_bias, seed = _prep(bias, num_heads, tokens, seed)
+    use_pos = pos is not None
+    pos_in = (pos.astype(jnp.float32) if use_pos
+              else jnp.zeros((tokens, c), jnp.float32))
+
+    tb = min(block_windows, bw)
+    pad = (-bw) % tb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, tokens, c), x.dtype)], axis=0)
+    grid = (x.shape[0] // tb,)
+
+    mat, vec, seq, bias_spec, posspec = _ln_specs(c, num_heads, tokens, tb)
+    out = pl.pallas_call(
+        functools.partial(_kernel_ln, num_heads=num_heads, tokens=tokens,
+                          use_bias=use_bias, use_pos=use_pos, rate=rate),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            seq(),
+            mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec(),
+            vec(), vec(), posspec(), bias_spec(),
+        ],
+        out_specs=seq(),
+        interpret=interpret,
+    )(seed, x, wq, bq, wk, bk, wv, bv, wo, bo,
+      ls.astype(jnp.float32), lb.astype(jnp.float32), pos_in, bias)
+    if pad:
+        out = out[:bw]
+    return out[:, :l_orig] if l_orig != tokens else out
+
+
+def _bwd_kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                   bv_ref, wo_ref, bo_ref, ls_ref, lb_ref, pos_ref, bias_ref,
+                   g_ref, dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                   dwv_ref, dbv_ref, dwo_ref, dbo_ref, dls_ref, dlb_ref,
+                   dbias_ref, *, num_heads: int, tokens: int, use_bias: bool,
+                   use_pos: bool, rate: float):
+    """Recompute LN + forward in VMEM; emit per-tile dx and grid-accumulated
+    weight / LN-affine / bias grads."""
+    i = pl.program_id(0)
+    tb = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    x2 = x_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    g2 = g_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    xn32, xhat, rstd = _ln_rows(x2, ls_ref[:], lb_ref[:])
+    xn = xn32.astype(x_ref.dtype)
+    if use_pos:
+        xqk = (xn.reshape(tb, tokens, c)
+               + pos_ref[:][None].astype(x_ref.dtype)).reshape(tb * tokens, c)
+    else:
+        xqk = xn
+
+    q3 = _proj(xqk, wq_ref, bq_ref, tb, tokens, c)
+    k3 = _proj(xqk, wk_ref, bk_ref, tb, tokens, c)
+    v3 = _proj(xn, wv_ref, bv_ref, tb, tokens, c)
+
+    dao3 = jax.lax.dot_general(
+        g2, wo_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ()))
+    ).reshape(tb, tokens, c)
+
+    attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        w, w_drop, keep, qh, kh, vh = _head_attention(
+            q3, k3, v3, bias_ref, seed_ref, i, h, sl, use_bias=use_bias,
+            rate=rate, num_heads=num_heads)
+        attn_parts.append(jax.lax.dot_general(
+            w_drop, vh, _BATCHED_AV,
+            preferred_element_type=jnp.float32).astype(q3.dtype))
+        dao_h = dao3[:, :, sl]
+        wd32 = w_drop.astype(jnp.float32)
+        dv_parts.append(jax.lax.dot_general(wd32, dao_h, _BATCHED_WTG))
+        dwd = jax.lax.dot_general(dao_h, vh.astype(jnp.float32),
+                                  _BATCHED_QKT)
+        if rate > 0.0:
+            dw = jnp.where(keep, dwd / (1.0 - rate), 0.0)
+        else:
+            dw = dwd
+        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        scale = hd ** -0.5
+        dq_parts.append(jax.lax.dot_general(
+            dl, kh.astype(jnp.float32), _BATCHED_AV) * scale)
+        dk_parts.append(jax.lax.dot_general(
+            dl, (qh * scale).astype(jnp.float32), _BATCHED_WTG))
+        if use_bias:
+            dsum = jnp.sum(dl, axis=0)
+
+            @pl.when(i == 0)
+            def _():
+                dbias_ref[h] = dsum
+
+            @pl.when(i > 0)
+            def _():
+                dbias_ref[h] = dbias_ref[h] + dsum
+
+    merge = lambda parts: jnp.concatenate(parts, axis=-1).reshape(
+        tb * tokens, c)
+    attn2 = merge(attn_parts).astype(jnp.float32)
+    dq2, dk2, dv2 = merge(dq_parts), merge(dk_parts), merge(dv_parts)
+
+    contract0 = (((0,), (0,)), ((), ()))
+    dwq = jax.lax.dot_general(xqk.astype(jnp.float32), dq2, contract0)
+    dwk = jax.lax.dot_general(xqk.astype(jnp.float32), dk2, contract0)
+    dwv = jax.lax.dot_general(xn.astype(jnp.float32), dv2, contract0)
+    dwo = jax.lax.dot_general(attn2, g2, contract0)
+    dbq, dbk, dbv = (jnp.sum(z, axis=0) for z in (dq2, dk2, dv2))
+    dbo = jnp.sum(g2, axis=0)
+    # d(xn) = back through all three projections (q and k share the +pos
+    # input whose derivative wrt xn is identity; pos itself is a constant)
+    mm_t = lambda a, w_ref: jax.lax.dot_general(
+        a, w_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())))
+    dxn = mm_t(dq2, wq_ref) + mm_t(dk2, wk_ref) + mm_t(dv2, wv_ref)
+
+    # LayerNorm backward (per-row stats over the lane axis)
+    dls = jnp.sum(dxn * xhat, axis=0)
+    dlb = jnp.sum(dxn, axis=0)
+    dxhat = dxn * ls_ref[:]
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * rstd
+    dx_ref[:] = dx.astype(dx_ref.dtype).reshape(tb, tokens, c)
+
+    @pl.when(i == 0)
+    def _():
+        dwq_ref[:] = dwq
+        dbq_ref[:] = dbq
+        dwk_ref[:] = dwk
+        dbk_ref[:] = dbk
+        dwv_ref[:] = dwv
+        dbv_ref[:] = dbv
+        dwo_ref[:] = dwo
+        dbo_ref[:] = dbo
+        dls_ref[:] = dls
+        dlb_ref[:] = dlb
+        if not use_bias:
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(i > 0)
+    def _():
+        dwq_ref[:] = dwq_ref[:] + dwq
+        dbq_ref[:] = dbq_ref[:] + dbq
+        dwk_ref[:] = dwk_ref[:] + dwk
+        dbk_ref[:] = dbk_ref[:] + dbk
+        dwv_ref[:] = dwv_ref[:] + dwv
+        dbv_ref[:] = dbv_ref[:] + dbv
+        dwo_ref[:] = dwo_ref[:] + dwo
+        dbo_ref[:] = dbo_ref[:] + dbo
+        dls_ref[:] = dls_ref[:] + dls
+        dlb_ref[:] = dlb_ref[:] + dlb
+
+
+def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
+                       seed, g, num_heads: int, rate: float,
+                       block_windows: int, interpret: bool):
+    x, bias_p, pos_p, g, l_orig = _ln_pad(x, bias, pos, g)
+    bw, tokens, c = x.shape
+    bias_in, use_bias, seed_in = _prep(bias_p, num_heads, tokens, seed)
+    use_pos = pos is not None
+    pos_in = (pos_p.astype(jnp.float32) if use_pos
+              else jnp.zeros((tokens, c), jnp.float32))
+
+    tb = min(block_windows, bw)
+    pad = (-bw) % tb
+    if pad:
+        zeros = jnp.zeros((pad, tokens, c), x.dtype)
+        x = jnp.concatenate([x, zeros], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, tokens, c), g.dtype)], axis=0)
+    grid = (x.shape[0] // tb,)
+
+    mat, vec, seq, bias_spec, posspec = _ln_specs(c, num_heads, tokens, tb)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_ln, num_heads=num_heads, tokens=tokens,
+                          use_bias=use_bias, use_pos=use_pos, rate=rate),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),         # dx
+            jax.ShapeDtypeStruct((c, c), f32),              # dwq
+            jax.ShapeDtypeStruct((c,), f32),                # dbq
+            jax.ShapeDtypeStruct((c, c), f32),              # dwk
+            jax.ShapeDtypeStruct((c,), f32),                # dbk
+            jax.ShapeDtypeStruct((c, c), f32),              # dwv
+            jax.ShapeDtypeStruct((c,), f32),                # dbv
+            jax.ShapeDtypeStruct((c, c), f32),              # dwo
+            jax.ShapeDtypeStruct((c,), f32),                # dbo
+            jax.ShapeDtypeStruct((c,), f32),                # dls
+            jax.ShapeDtypeStruct((c,), f32),                # dlb
+            jax.ShapeDtypeStruct((num_heads, tokens, tokens), f32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            seq(),
+            mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec(),
+            vec(), vec(), posspec(), bias_spec(), seq(),
+        ],
+        out_specs=(seq(), mat(), vec(), mat(), vec(), mat(), vec(),
+                   mat(), vec(), vec(), vec(), bias_spec()),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed_in, x, wq, bq, wk, bk, wv, bv, wo, bo,
+      ls.astype(f32), lb.astype(f32), pos_in, bias_in, g)
+    dx = outs[0]
+    if pad:
+        dx = dx[:bw]
+    if l_orig != tokens:
+        dx = dx[:, :l_orig]
+    dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dls, dlb, dbias = outs[1:]
+    cast = lambda grad, ref: grad.astype(ref.dtype)
+    grads = (dx, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk), cast(dbk, bk),
+             cast(dwv, wv), cast(dbv, bv), cast(dwo, wo), cast(dbo, bo),
+             cast(dls, ls), cast(dlb, lb))
+    dpos = jnp.zeros_like(pos) if pos is not None else None  # sine constants
+    if bias is None:
+        dbias_out = None
+    else:
+        dbias = dbias[:, :l_orig, :l_orig]
+        if bias.shape[0] == 1:
+            dbias_out = jnp.sum(dbias, axis=0,
+                                keepdims=True).astype(bias.dtype)
+        else:
+            dbias_out = dbias.astype(bias.dtype)
+    return grads + (dpos, dbias_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+def fused_attention_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos=None,
+                       bias=None, seed=0, num_heads: int = 8,
+                       dropout_rate: float = 0.0, block_windows: int = 64,
+                       interpret: bool = False, block_windows_bwd: int = 32):
+    """LN-folded fused attention sublayer over a single input (B, tokens, C).
+
+    Computes out_proj(attn(q/k = LN(x) + pos, v = LN(x))) in one kernel per
+    direction. ``ls``/``lb``: the LayerNorm affine (C,). ``pos``: optional
+    non-learned (tokens, C) additive q/k position table (its cotangent is
+    zero). ``bias``/``seed``/dropout as in :func:`fused_attention`. Token
+    counts that are not sublane multiples are padded in-kernel.
+    """
+    return _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
+                             bias, seed, num_heads, dropout_rate,
+                             block_windows, interpret)
+
+
+def _ln_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, seed,
+            num_heads, rate, block_windows, interpret, block_windows_bwd):
+    out = _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
+                            bias, seed, num_heads, rate, block_windows,
+                            interpret)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, seed)
+
+
+def _ln_bwd(num_heads, rate, block_windows, interpret, block_windows_bwd,
+            residuals, g):
+    x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, seed = residuals
+    grads = _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb,
+                               pos, bias, seed, g, num_heads, rate,
+                               block_windows_bwd, interpret)
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return grads + (dseed,)
+
+
+fused_attention_ln.defvjp(_ln_fwd, _ln_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))

@@ -61,6 +61,46 @@ def transformer_step_flops(batch: int, t: int, h: int, w: int, dim: int,
     return total
 
 
+def nar_step_flops(batch: int, tp: int, tf: int, h: int, w: int, dim: int,
+                   num_heads: int, num_encoder_layers: int,
+                   num_decoder_layers: int, window: int, ffn_ratio: int = 4,
+                   backward: bool = True) -> int:
+    """Per-step FLOPs of the NAR encoder-decoder stack (train_NAR recipe):
+    encoder blocks over the Tp past frames plus decoder blocks over the Tf
+    query frames (window + temporal self-attention, enc-dec cross attention
+    over Tp keys, TWO conv FFNs and one linear FFN per decoder block).
+    NCE projector and frame-query adds are negligible and excluded."""
+    win2 = window * window
+    hidden = ffn_ratio * dim
+    hd = dim // num_heads
+
+    def enc_layer(t):
+        per = ((h // window) * (w // window) * batch * t
+               * window_attention_flops(win2, dim, num_heads))
+        per += batch * h * w * window_attention_flops(t, dim, num_heads)
+        per += batch * t * h * w * (2 * dim * hidden + 9 * hidden)
+        per += batch * t * h * w * 2 * dim * hidden
+        return per
+
+    def dec_layer():
+        per = ((h // window) * (w // window) * batch * tf
+               * window_attention_flops(win2, dim, num_heads))
+        per += batch * h * w * window_attention_flops(tf, dim, num_heads)
+        # enc-dec cross attention: Tf queries over Tp keys per column
+        cross = (tf * dim * 2 * dim + tp * dim * 2 * dim
+                 + 2 * num_heads * tf * tp * hd)
+        per += batch * h * w * cross
+        per += 2 * batch * tf * h * w * (2 * dim * hidden + 9 * hidden)
+        per += batch * tf * h * w * 2 * dim * hidden
+        return per
+
+    total = 2 * (num_encoder_layers * enc_layer(tp)
+                 + num_decoder_layers * dec_layer())
+    if backward:
+        total *= 3
+    return total
+
+
 class AverageMeters:
     """Running means per named loss for one epoch
     (reference: utils/train_summary.py:41-91).

@@ -79,7 +79,8 @@ def _probe(name, args, make_kernel, make_ref):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--probes", nargs="*",
-                   default=["pad_temporal", "ln_window", "ln_temporal"])
+                   default=["pad_temporal", "ln_window", "ln_temporal",
+                            "ffn"])
     p.add_argument("--fwd-block", type=int, default=32)
     p.add_argument("--bwd-block", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
@@ -165,6 +166,34 @@ def main():
                 jnp.broadcast_to(causal19, (heads, 19, 19)), heads)
 
         _probe("ln_temporal", (x, ls, lb) + pp, kern, ref)
+
+    if "ffn" in args.probes:
+        from vptr_tpu.ops.fused_ffn import _reference_ffn, fused_ffn
+
+        s, hidden = 12160, 4 * c
+        x = jnp.asarray(rng.normal(size=(s, c))
+                        .astype(np.float32)).astype(dt)
+        w1 = jnp.asarray(rng.normal(size=(c, hidden))
+                         .astype(np.float32) * 0.05).astype(dt)
+        b1 = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32) * .05)
+        w2 = jnp.asarray(rng.normal(size=(hidden, c))
+                         .astype(np.float32) * 0.05).astype(dt)
+        b2 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.05)
+        ls = jnp.asarray(1 + 0.1 * rng.normal(size=(c,)).astype(np.float32))
+        lb = jnp.asarray(0.1 * rng.normal(size=(c,)).astype(np.float32))
+
+        def kern(x, w1, b1, w2, b2, ls, lb):
+            return fused_ffn(x, w1, b1, w2, b2, ls, lb, 7, 0.1,
+                             256, interp, 128)
+
+        def ref(x, w1, b1, w2, b2, ls, lb):
+            from vptr_tpu.ops.fused_ffn import ffn_keep_mask
+
+            keep = ffn_keep_mask(7, x.shape[0], hidden, 0.1)
+            return _reference_ffn(x, w1, b1, w2, b2, ls, lb,
+                                  keep=keep, rate=0.1)
+
+        _probe("ffn", (x, w1, b1, w2, b2, ls, lb), kern, ref)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,13 @@ VARIANTS = {
     "unfused": {},
     "core": {"transformer": {"fused_attention": True}},
     "full": {"transformer": {"fused_attention": True, "fused_full": True}},
+    "full_temporal": {"transformer": {"fused_attention": True,
+                                      "fused_full": True,
+                                      "fused_full_temporal": True}},
+    "full_ffn": {"transformer": {"fused_attention": True,
+                                 "fused_full": True, "fused_ffn": True}},
+    "core_ffn": {"transformer": {"fused_attention": True,
+                                 "fused_ffn": True}},
     "core_nodrop": {"transformer": {"fused_attention": True,
                                     "attention_dropout": 0.0}},
     "full_nodrop": {"transformer": {"fused_attention": True,

@@ -218,12 +218,12 @@ def test_scan_layers_far_matches_unrolled():
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["far", "nar"])
+@pytest.mark.parametrize("variant", ["far", "nar", "far_temporal", "far_ffn"])
 def test_fused_full_ln_folded_matches_in_model(variant):
     """fused_full (whole-sublayer kernels with the leading LayerNorms folded
     in, temporal attention padded in-kernel) must match the unfused model on
     the SAME param tree — outputs and grads."""
-    if variant == "far":
+    if variant.startswith("far"):
         base = dict(num_past_frames=3, num_future_frames=3,
                     num_encoder_layers=1, **TINY)
         mk = lambda **kw: VPTRFormerFAR(**base, **kw)
@@ -233,7 +233,9 @@ def test_fused_full_ln_folded_matches_in_model(variant):
                     **TINY)
         mk = lambda **kw: VPTRFormerNAR(**base, **kw)
     model_a = mk(fused_attention=False)
-    model_b = mk(fused_attention=True, fused_full=True)
+    model_b = mk(fused_attention=True, fused_full=True,
+                 fused_full_temporal=variant.endswith("temporal"),
+                 fused_ffn=variant.endswith("ffn"))
     x = _feats(2, 5 if variant == "far" else 3)
     variables = model_a.init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(variables) == \

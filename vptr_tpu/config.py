@@ -84,8 +84,20 @@ class TransformerConfig:
                                         # (BENCH_NOTES.md round-2 sweep);
                                         # interpret-mode fallback off-TPU
     fused_full: bool = False            # fully-fused sublayer kernel: q/k/v/out
-                                        # projections run inside the Pallas
-                                        # kernel too (fwd AND bwd)
+                                        # projections + leading LayerNorm run
+                                        # inside the Pallas kernel (fwd AND bwd)
+    fused_full_temporal: bool = False   # extend fused_full to the temporal
+                                        # sublayer (tokens padded 19->32 in-
+                                        # kernel). Measured ~neutral on v5e:
+                                        # the padding wastes ~68% projection
+                                        # FLOPs, cancelling the fusion win —
+                                        # temporal stays on the attention-core
+                                        # kernel by default (BENCH_NOTES.md)
+    fused_ffn: bool = False             # Pallas fused LN+fc1+GELU+drop+fc2
+                                        # for the LINEAR FFN sublayer
+                                        # (norm4 + Mlp); per-token stats, so
+                                        # it avoids the granularity problem
+                                        # that sank fused_conv_ffn
     fused_conv_ffn: bool = False        # Pallas conv+LayerNormHWC+GELU for
                                         # the conv-FFN fc1/fc2 stages.
                                         # Ablation only: measured SLOWER

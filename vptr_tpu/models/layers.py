@@ -579,20 +579,52 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Plain linear FFN: Linear -> GELU -> drop -> Linear -> drop
-    (reference: VidHRFormer_modules.py:50-55,86-89)."""
+    """Plain linear FFN: Linear -> GELU -> drop -> Linear
+    (reference: VidHRFormer_modules.py:50-55,88-90 —
+    ``linear2(drop2(gelu(linear1(x))))``; the post-linear2 dropout is the
+    BLOCK's outer drop3 on the residual branch, applied by the caller.
+    A previous revision also dropped inside this module, double-dropping
+    the FFN output in train mode)."""
 
     dim: int
     hidden_dim: int
     dropout: float = 0.0
+    fused: bool = False     # Pallas fused LN+FFN kernel (requires ``ln``)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, ln=None, deterministic: bool = True):
+        """``ln``: optional (scale, bias) of the sublayer's leading
+        LayerNorm (norm4) — pass the RAW pre-norm x then. With ``fused``
+        the whole norm+fc1+GELU+dropout+fc2 chain runs in one Pallas
+        kernel per direction; otherwise the norm is applied in XLA here."""
+        if ln is not None and self.fused:
+            from vptr_tpu.ops.fused_ffn import fused_ffn
+
+            w1, b1 = _DenseParams(self.hidden_dim, xavier_uniform,
+                                  name="linear1")(self.dim)
+            w2, b2 = _DenseParams(self.dim, xavier_uniform,
+                                  name="linear2")(self.hidden_dim)
+            rate = 0.0 if deterministic else self.dropout
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            lead = x.shape[:-1]
+            out = fused_ffn(
+                x.reshape(-1, self.dim).astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(jnp.float32),
+                w2.astype(self.dtype), b2.astype(jnp.float32),
+                ln[0], ln[1], seed, rate, 256,
+                jax.default_backend() != "tpu", 128)
+            return out.reshape(lead + (self.dim,))
+        if ln is not None:
+            x = layernorm_xla(x, ln[0], ln[1], self.dtype)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=xavier_uniform, name="linear1")(x)
         y = drop(jax.nn.gelu(y, approximate=False))
-        y = nn.Dense(self.dim, dtype=self.dtype,
-                     kernel_init=xavier_uniform, name="linear2")(y)
-        return drop(y)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        kernel_init=xavier_uniform, name="linear2")(y)

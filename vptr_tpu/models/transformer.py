@@ -59,6 +59,11 @@ class EncoderBlock(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False           # fully-fused sublayer (projections in-kernel)
+    fused_full_temporal: bool = False  # extend full fusion to the temporal
+                                       # sublayer (padded tokens; measured
+                                       # ~neutral on v5e — see BENCH_NOTES)
+    fused_ffn: bool = False            # Pallas LN+fc1+GELU+drop+fc2 kernel
+                                       # for the linear FFN sublayer
     fused_conv_ffn: bool = False       # Pallas conv+LN+GELU for fc1/fc2
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
@@ -98,13 +103,18 @@ class EncoderBlock(nn.Module):
             ln("norm2")(x), deterministic=deterministic, train=train)
         x = x + dp(y, deterministic=deterministic)
 
-        # 3) temporal attention per spatial location
+        # 3) temporal attention per spatial location. Full fusion here is
+        #    opt-in (fused_full_temporal): the in-kernel token padding
+        #    (e.g. 19 -> 32) wastes projection FLOPs that roughly cancel
+        #    the fusion win on v5e, so the default fully-fused config keeps
+        #    temporal on the attention-core kernel with an XLA LayerNorm.
+        fold_t = fold and self.fused_full_temporal
         ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                causal=self.far, fused=self.fused_attention,
-                               fused_full=self.fused_full,
+                               fused_full=fold_t,
                                sp=self.sequence_parallel,
                                dtype=self.dtype, name="temporal")
-        if fold:
+        if fold_t:
             y = ta(x, pos_t, ln=_LnScaleBias(name="norm3")(self.dim),
                    deterministic=deterministic)
         else:
@@ -112,9 +122,13 @@ class EncoderBlock(nn.Module):
         x = x + drop(y)
 
         # 4) linear feed-forward
-        y = Mlp(self.dim, self.dim_feedforward, self.dropout,
-                dtype=self.dtype, name="ffn")(
-            ln("norm4")(x), deterministic=deterministic)
+        mlp = Mlp(self.dim, self.dim_feedforward, self.dropout,
+                  fused=self.fused_ffn, dtype=self.dtype, name="ffn")
+        if self.fused_ffn:
+            y = mlp(x, ln=_LnScaleBias(name="norm4")(self.dim),
+                    deterministic=deterministic)
+        else:
+            y = mlp(ln("norm4")(x), deterministic=deterministic)
         return x + drop(y)
 
 
@@ -133,6 +147,8 @@ class DecoderBlockNAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_temporal: bool = False
+    fused_ffn: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
@@ -166,14 +182,16 @@ class DecoderBlockNAR(nn.Module):
             ln("norm2")(tgt), deterministic=deterministic, train=train)
         tgt = tgt + dp(y, deterministic=deterministic)
 
-        # 3) temporal self-attention over the Tf query frames (LN folded
-        #    into the kernel on the fully-fused path, like the encoder)
+        # 3) temporal self-attention over the Tf query frames (same
+        #    fused_full_temporal opt-in as the encoder block)
+        fold_t = (self.fused_attention and self.fused_full
+                  and self.fused_full_temporal)
         ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                fused=self.fused_attention,
-                               fused_full=self.fused_full,
+                               fused_full=fold_t,
                                sp=self.sequence_parallel, dtype=self.dtype,
                                name="temporal")
-        if self.fused_attention and self.fused_full:
+        if fold_t:
             y = ta(tgt, pos_t_future,
                    ln=_LnScaleBias(name="norm3")(self.dim),
                    deterministic=deterministic)
@@ -183,9 +201,13 @@ class DecoderBlockNAR(nn.Module):
         tgt = tgt + drop(y)
 
         # 4) linear FFN
-        y = Mlp(self.dim, self.dim_feedforward, self.dropout,
-                dtype=self.dtype, name="ffn")(
-            ln("norm4")(tgt), deterministic=deterministic)
+        mlp = Mlp(self.dim, self.dim_feedforward, self.dropout,
+                  fused=self.fused_ffn, dtype=self.dtype, name="ffn")
+        if self.fused_ffn:
+            y = mlp(tgt, ln=_LnScaleBias(name="norm4")(self.dim),
+                    deterministic=deterministic)
+        else:
+            y = mlp(ln("norm4")(tgt), deterministic=deterministic)
         tgt = tgt + drop(y)
 
         # 5) encoder-decoder attention
@@ -263,6 +285,8 @@ class _ScanEncoderBlock(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_full_temporal: bool = False
+    fused_ffn: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None
@@ -277,6 +301,8 @@ class _ScanEncoderBlock(nn.Module):
                 self.dim_feedforward, far=self.far, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_full_temporal=self.fused_full_temporal,
+                fused_ffn=self.fused_ffn,
                 fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel,
                 conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
@@ -301,6 +327,8 @@ class _ScanDecoderBlockNAR(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_full_temporal: bool = False
+    fused_ffn: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
@@ -315,6 +343,8 @@ class _ScanDecoderBlockNAR(nn.Module):
                 self.dim_feedforward, tslma=self.tslma, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_full_temporal=self.fused_full_temporal,
+                fused_ffn=self.fused_ffn,
                 fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel, dtype=self.dtype,
                 name="block")(tgt, query_pos, memory, pos2d, pos_t_future,
@@ -345,6 +375,8 @@ class VPTRFormerFAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_temporal: bool = False
+    fused_ffn: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
@@ -373,7 +405,9 @@ class VPTRFormerFAR(nn.Module):
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
-                          fused_conv_ffn=self.fused_conv_ffn,
+                          fused_full_temporal=self.fused_full_temporal,
+                          fused_ffn=self.fused_ffn,
+                fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         x = feats
@@ -420,6 +454,8 @@ class VPTRFormerNAR(nn.Module):
     rpe: bool = True
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_temporal: bool = False
+    fused_ffn: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
@@ -439,7 +475,9 @@ class VPTRFormerNAR(nn.Module):
                           rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
-                          fused_conv_ffn=self.fused_conv_ffn,
+                          fused_full_temporal=self.fused_full_temporal,
+                          fused_ffn=self.fused_ffn,
+                fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
         if self.scan_layers:
@@ -569,6 +607,8 @@ def build_transformer(cfg, dtype=jnp.float32):
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
                   fused_full=cfg.fused_full,
+                  fused_full_temporal=cfg.fused_full_temporal,
+                  fused_ffn=cfg.fused_ffn,
                   fused_conv_ffn=cfg.fused_conv_ffn,
                   sequence_parallel=cfg.sequence_parallel,
                   remat=cfg.remat, dtype=dtype)

@@ -177,6 +177,8 @@ def _forward(x, w, b, scale, bias2, eps: float, block_samples: int,
         grid=(x.shape[0] // s_blk,),
         in_specs=[sample_in, mat, vec, aff, aff],
         out_specs=sample_out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32))
     return out[:n0]
@@ -202,7 +204,8 @@ def _backward(x, w, b, scale, bias2, g, eps: float, block_samples: int,
         in_specs=[sample_in, mat, vec, aff, aff, sample_out],
         out_specs=(sample_in, mat, vec, aff, aff),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, w, b, scale.astype(jnp.float32), bias2.astype(jnp.float32), g)
     return (dx[:n0], dw.astype(w.dtype), db.astype(b.dtype),

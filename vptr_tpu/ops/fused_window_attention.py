@@ -22,7 +22,9 @@ same way. Heads are therefore handled with a static per-head loop over
 unaligned lane slices (q[:, :, h*hd:(h+1)*hd] — supported), merged back via
 a lane-axis concat before one full-width 2D out-proj GEMM. The
 (tiles, T, C) <-> 2D casts additionally require the token count to be a
-sublane-tile multiple — callers gate on that (models/layers.py).
+sublane-tile multiple — the wrappers pad the token axis in (masked softmax
+columns, see ``_pad_tokens``), so odd counts like the T=19 temporal
+attention still run fused.
 
 Dropout uses the same counter-based hash PRNG as
 ``vptr_tpu.ops.attention_core`` (`dropout_keep_mask` is the shared jnp test
@@ -98,6 +100,12 @@ def _proj(x2, w_ref, b_ref, tb, tokens, c):
     y = (y + b_ref[:].astype(jnp.float32)).astype(x2.dtype)
     return y.reshape(tb, tokens, c)          # major-dim split: supported
 
+
+# Mosaic's default scoped-VMEM budget is 16 MB; the padded-token (T=32)
+# backward holds ~20 MB of stack (dx tile + per-head recompute chain), which
+# aborts the compile with a scoped-vmem OOM. v5e has 128 MB of VMEM per
+# core; 64 MB leaves ample room for pipeline double-buffering.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 _BATCHED_QKT = (((2,), (2,)), ((0,), (0,)))   # (B,T,D)x(B,T,D) -> (B,T,T)
 _BATCHED_AV = (((2,), (1,)), ((0,), (0,)))    # (B,T,T)x(B,T,D) -> (B,T,D)
@@ -240,6 +248,8 @@ def _fused_forward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed,
             bias_spec(),
         ],
         out_specs=seq(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias)
     if pad:
@@ -399,7 +409,8 @@ def _fused_backward(x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias, seed, g,
         out_specs=(seq(), seq(), mat(), vec(), mat(), vec(), mat(), vec(),
                    mat(), vec(), bias_spec()),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed_in, x_qk, x_v, wq, bq, wk, bk, wv, bv, wo, bo, bias_in, g)
     dxqk, dxv = outs[0], outs[1]
@@ -558,6 +569,8 @@ def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
             vec(), vec(), posspec(), bias_spec(),
         ],
         out_specs=seq(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, x, wq, bq, wk, bk, wv, bv, wo, bo,
       ls.astype(jnp.float32), lb.astype(jnp.float32), pos_in, bias)
@@ -734,7 +747,8 @@ def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
         out_specs=(seq(), mat(), vec(), mat(), vec(), mat(), vec(),
                    mat(), vec(), vec(), vec(), bias_spec()),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed_in, x, wq, bq, wk, bk, wv, bv, wo, bo,
       ls.astype(f32), lb.astype(f32), pos_in, bias_in, g)

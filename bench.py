@@ -40,11 +40,12 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--quick", action="store_true",
                         help="tiny config for CI/CPU smoke")
-    parser.add_argument("--attention", default="core",
+    parser.add_argument("--attention", default="full",
                         choices=["unfused", "core", "full"],
                         help="attention path; default = fastest measured "
-                             "(Pallas fused core, in-kernel dropout — full "
-                             "reference-parity semantics)")
+                             "(fully-fused window sublayer with in-kernel "
+                             "LayerNorm + dropout, temporal attention on "
+                             "the fused core — full parity semantics)")
     parser.add_argument("--conv-ffn", action="store_true",
                         help="fused Pallas conv+LayerNorm+GELU in the "
                              "conv-FFN fc1/fc2 stages (CPU-only ablation: "

@@ -36,7 +36,7 @@ def timed(fn, *args, n=15):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=10)
-    p.add_argument("--attention", default="core",
+    p.add_argument("--attention", default="full",
                    choices=["unfused", "core", "full"])
     args = p.parse_args()
 

@@ -72,7 +72,7 @@ def main():
     p.add_argument("--out", default="results_r03")
     p.add_argument("--ckpt-dir", default="/tmp/quality_r03")
     p.add_argument("--eval-batches", type=int, default=8)
-    p.add_argument("--attention", default="core",
+    p.add_argument("--attention", default="full",
                    choices=["core", "full"],
                    help="fused attention flavor for the stage-2 run")
     args = p.parse_args()

@@ -83,9 +83,12 @@ class TransformerConfig:
                                         # the measured-fastest parity config
                                         # (BENCH_NOTES.md round-2 sweep);
                                         # interpret-mode fallback off-TPU
-    fused_full: bool = False            # fully-fused sublayer kernel: q/k/v/out
+    fused_full: bool = True             # fully-fused sublayer kernel: q/k/v/out
                                         # projections + leading LayerNorm run
-                                        # inside the Pallas kernel (fwd AND bwd)
+                                        # inside the Pallas kernel (fwd AND
+                                        # bwd). Measured-fastest parity config
+                                        # on v5e (162.2 ms/step vs 168.7 core-
+                                        # only — BENCH_NOTES.md round-3 sweep)
     fused_full_temporal: bool = False   # extend fused_full to the temporal
                                         # sublayer (tokens padded 19->32 in-
                                         # kernel). Measured ~neutral on v5e:

@@ -195,6 +195,34 @@ def main():
 
         _probe("ffn", (x, w1, b1, w2, b2, ls, lb), kern, ref)
 
+    if "dw" in args.probes:
+        from vptr_tpu.ops.fused_dw_chain import (
+            _reference_dw_chain,
+            dw_keep_mask,
+            fused_dw_chain,
+        )
+
+        n, hw, hidden, w = 190, 64, 4 * c, 8
+        x = jnp.asarray(rng.normal(size=(n, hw, hidden))
+                        .astype(np.float32)).astype(dt)
+        taps = jnp.asarray(rng.normal(size=(9, hidden))
+                           .astype(np.float32) * 0.2)
+        dwb = jnp.asarray(rng.normal(size=(hidden,)).astype(np.float32) * .05)
+        mk_aff = lambda off: jnp.asarray(
+            off + 0.1 * rng.normal(size=(hw, hidden)).astype(np.float32))
+        s1, b1, s2, b2 = mk_aff(1), mk_aff(0), mk_aff(1), mk_aff(0)
+
+        def kern(x, taps, dwb, s1, b1, s2, b2):
+            return fused_dw_chain(x, taps, dwb, s1, b1, s2, b2, 7, w,
+                                  0.1, 8, interp)
+
+        def ref(x, taps, dwb, s1, b1, s2, b2):
+            keep = dw_keep_mask(7, n, hw, hidden, 0.1)
+            return _reference_dw_chain(x, taps, dwb, s1, b1, s2, b2, w=w,
+                                       keep=keep, rate=0.1)
+
+        _probe("dw", (x, taps, dwb, s1, b1, s2, b2), kern, ref)
+
 
 if __name__ == "__main__":
     main()

@@ -71,6 +71,8 @@ VARIANTS = {
                                       "fused_full_temporal": True}},
     "full_ffn": {"transformer": {"fused_attention": True,
                                  "fused_full": True, "fused_ffn": True}},
+    "full_dw": {"transformer": {"fused_attention": True,
+                                "fused_full": True, "fused_dw": True}},
     "core_ffn": {"transformer": {"fused_attention": True,
                                  "fused_ffn": True}},
     "core_nodrop": {"transformer": {"fused_attention": True,

@@ -96,6 +96,11 @@ class TransformerConfig:
                                         # FLOPs, cancelling the fusion win —
                                         # temporal stays on the attention-core
                                         # kernel by default (BENCH_NOTES.md)
+    fused_dw: bool = False              # Pallas fused norm1+GELU+dw3x3+
+                                        # norm2+GELU+drop between the conv
+                                        # FFN's 1x1 GEMMs (the two
+                                        # whole-sample LayerNormHWCs are
+                                        # 2-pass reductions XLA cannot fuse)
     fused_ffn: bool = False             # Pallas fused LN+fc1+GELU+drop+fc2
                                         # for the LINEAR FFN sublayer
                                         # (norm4 + Mlp); per-token stats, so

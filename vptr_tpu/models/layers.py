@@ -485,6 +485,22 @@ class _LnHwcParams(nn.Module):
         return scale, bias
 
 
+class _DwConvParams(nn.Module):
+    """Parameter holder shaped exactly like the depthwise 3x3 ``nn.Conv``
+    ({kernel (3, 3, 1, C), bias (C,)}) so the fused dw-chain path shares
+    checkpoints with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform,
+                            (3, 3, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MlpDWBN(nn.Module):
     """HRFormer conv feed-forward: 1x1 -> norm -> GELU -> 3x3 depthwise ->
     norm -> GELU -> drop -> 1x1 -> norm -> GELU -> drop.
@@ -505,6 +521,9 @@ class MlpDWBN(nn.Module):
     norm: str = "layer"               # layer | batch
     dropout: float = 0.0
     fused_ln: bool = False
+    fused_dw: bool = False            # Pallas fused norm1+GELU+dw3x3+norm2+
+                                      # GELU+drop between the 1x1 GEMMs
+                                      # (layer-norm flavor only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -521,6 +540,34 @@ class MlpDWBN(nn.Module):
 
         gelu = lambda z: jax.nn.gelu(z, approximate=False)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
+
+        if self.norm == "layer" and self.fused_dw:
+            from vptr_tpu.ops.fused_dw_chain import fused_dw_chain
+
+            hd = self.hidden_dim
+            y = nn.Conv(hd, (1, 1), dtype=self.dtype,
+                        kernel_init=xavier_uniform, name="fc1")(y)
+            s1, b1 = _LnHwcParams((h, w, hd), name="norm1")()
+            s2, b2 = _LnHwcParams((h, w, hd), name="norm2")()
+            dwk, dwb = _DwConvParams(hd, name="dw3x3")()
+            rate = 0.0 if deterministic else self.dropout
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            y = fused_dw_chain(
+                y.reshape(n * t, h * w, hd),
+                dwk.reshape(9, hd), dwb,
+                s1.reshape(h * w, hd), b1.reshape(h * w, hd),
+                s2.reshape(h * w, hd), b2.reshape(h * w, hd),
+                seed, w, rate, 8, jax.default_backend() != "tpu")
+            y = y.reshape(n * t, h, w, hd)
+            y = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                        kernel_init=xavier_uniform, name="fc2")(y)
+            y = drop(gelu(norm(3, y)))
+            return y.reshape(n, t, h, w, self.dim)
 
         if self.norm == "layer" and self.fused_ln:
             from vptr_tpu.ops.fused_conv_ln import conv_ln_gelu

@@ -64,6 +64,8 @@ class EncoderBlock(nn.Module):
                                        # ~neutral on v5e — see BENCH_NOTES)
     fused_ffn: bool = False            # Pallas LN+fc1+GELU+drop+fc2 kernel
                                        # for the linear FFN sublayer
+    fused_dw: bool = False             # Pallas fused norm1+GELU+dw3x3+norm2+
+                                       # GELU+drop inside the conv FFN
     fused_conv_ffn: bool = False       # Pallas conv+LN+GELU for fc1/fc2
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None  # override; default: layer if far else batch
@@ -99,6 +101,7 @@ class EncoderBlock(nn.Module):
         # 2) conv feed-forward (cross-window mixing)
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm=ffn_norm,
                     dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    fused_dw=self.fused_dw,
                     dtype=self.dtype, name="spatial_ffn")(
             ln("norm2")(x), deterministic=deterministic, train=train)
         x = x + dp(y, deterministic=deterministic)
@@ -149,6 +152,7 @@ class DecoderBlockNAR(nn.Module):
     fused_full: bool = False
     fused_full_temporal: bool = False
     fused_ffn: bool = False
+    fused_dw: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
@@ -178,6 +182,7 @@ class DecoderBlockNAR(nn.Module):
         #    VidHRFormer_modules.py:390)
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
                     dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    fused_dw=self.fused_dw,
                     dtype=self.dtype, name="spatial_ffn")(
             ln("norm2")(tgt), deterministic=deterministic, train=train)
         tgt = tgt + dp(y, deterministic=deterministic)
@@ -232,6 +237,7 @@ class DecoderBlockNAR(nn.Module):
         # 6) second conv FFN
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm="layer",
                     dropout=self.dropout, fused_ln=self.fused_conv_ffn,
+                    fused_dw=self.fused_dw,
                     dtype=self.dtype, name="spatial_ffn2")(
             ln("norm6")(tgt), deterministic=deterministic, train=train)
         return tgt + dp(y, deterministic=deterministic)
@@ -287,6 +293,7 @@ class _ScanEncoderBlock(nn.Module):
     fused_full: bool = False
     fused_full_temporal: bool = False
     fused_ffn: bool = False
+    fused_dw: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     conv_ffn_norm: Optional[str] = None
@@ -303,6 +310,7 @@ class _ScanEncoderBlock(nn.Module):
                 fused_full=self.fused_full,
                 fused_full_temporal=self.fused_full_temporal,
                 fused_ffn=self.fused_ffn,
+                fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel,
                 conv_ffn_norm=self.conv_ffn_norm, dtype=self.dtype,
@@ -329,6 +337,7 @@ class _ScanDecoderBlockNAR(nn.Module):
     fused_full: bool = False
     fused_full_temporal: bool = False
     fused_ffn: bool = False
+    fused_dw: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
@@ -345,6 +354,7 @@ class _ScanDecoderBlockNAR(nn.Module):
                 fused_full=self.fused_full,
                 fused_full_temporal=self.fused_full_temporal,
                 fused_ffn=self.fused_ffn,
+                fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
                 sequence_parallel=self.sequence_parallel, dtype=self.dtype,
                 name="block")(tgt, query_pos, memory, pos2d, pos_t_future,
@@ -377,6 +387,7 @@ class VPTRFormerFAR(nn.Module):
     fused_full: bool = False
     fused_full_temporal: bool = False
     fused_ffn: bool = False
+    fused_dw: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
@@ -407,6 +418,7 @@ class VPTRFormerFAR(nn.Module):
                           fused_full=self.fused_full,
                           fused_full_temporal=self.fused_full_temporal,
                           fused_ffn=self.fused_ffn,
+                          fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
@@ -456,6 +468,7 @@ class VPTRFormerNAR(nn.Module):
     fused_full: bool = False
     fused_full_temporal: bool = False
     fused_ffn: bool = False
+    fused_dw: bool = False
     fused_conv_ffn: bool = False
     sequence_parallel: bool = False
     remat: bool = False                 # rematerialize blocks in backward
@@ -477,6 +490,7 @@ class VPTRFormerNAR(nn.Module):
                           fused_full=self.fused_full,
                           fused_full_temporal=self.fused_full_temporal,
                           fused_ffn=self.fused_ffn,
+                          fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
                           sequence_parallel=self.sequence_parallel,
                           dtype=self.dtype)
@@ -609,6 +623,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   fused_full=cfg.fused_full,
                   fused_full_temporal=cfg.fused_full_temporal,
                   fused_ffn=cfg.fused_ffn,
+                  fused_dw=cfg.fused_dw,
                   fused_conv_ffn=cfg.fused_conv_ffn,
                   sequence_parallel=cfg.sequence_parallel,
                   remat=cfg.remat, dtype=dtype)

@@ -28,6 +28,13 @@ def run_variant(name: str, overrides: dict, batch: int, steps: int,
     from vptr_tpu.config import get_preset
     from vptr_tpu.train.trainer import Trainer
 
+    if name.endswith("_bigtile"):
+        # measurement-only: double the fused-full kernel tiles (the 64 MB
+        # scoped-VMEM budget makes room the old 16 MB default did not)
+        from vptr_tpu.models import layers
+
+        layers.MultiHeadAttention.fused_full_blocks = (64, 32)
+
     cfg = get_preset("far_mnist").override(
         {"dtype": "bfloat16", "data": {"batch_size": batch}, **overrides})
     trainer = Trainer(cfg, write_outputs=False)
@@ -73,6 +80,8 @@ VARIANTS = {
                                  "fused_full": True, "fused_ffn": True}},
     "full_dw": {"transformer": {"fused_attention": True,
                                 "fused_full": True, "fused_dw": True}},
+    "full_bigtile": {"transformer": {"fused_attention": True,
+                                     "fused_full": True}},
     "core_ffn": {"transformer": {"fused_attention": True,
                                  "fused_ffn": True}},
     "core_nodrop": {"transformer": {"fused_attention": True,

@@ -289,6 +289,12 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             dt = time.perf_counter() - t0
+            # long remote-relay runs accumulate dead client-side buffer
+            # handles whose remote frees lag; an explicit collection each
+            # epoch keeps the release queue drained
+            import gc
+
+            gc.collect()
 
             avg = meters.averages()
             avg["steps_per_sec"] = n_steps / max(dt, 1e-9)

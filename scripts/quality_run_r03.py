@@ -75,6 +75,14 @@ def main():
     p.add_argument("--attention", default="full",
                    choices=["core", "full"],
                    help="fused attention flavor for the stage-2 run")
+    p.add_argument("--chunk-epochs", type=int, default=None,
+                   help="train at most this many stage-2 epochs, then exit "
+                   "with code 3 if more remain. The relay client's host RSS "
+                   "grows over multi-hour runs (leak is client-side, outside "
+                   "this repo); bounded-lifetime processes reset it, and the "
+                   "relay's server-side compile cache makes process restarts "
+                   "cheap (measured: 204s first compile, 2.2s second process "
+                   "— scripts/tpu_cache_probe.py)")
     args = p.parse_args()
 
     from vptr_tpu.config import get_preset
@@ -95,17 +103,34 @@ def main():
         "dtype": "bfloat16",
         "ckpt_dir": f"{args.ckpt_dir}/{args.stage}",
         "ckpt_keep": 1,
+        "ckpt_per_epochs": 3,
         "val_per_epochs": 2,
         "ae_ckpt": ae_ckpt,
         "transformer": {"fused_full": args.attention == "full"},
     })
     steps_per_epoch = 4096 // cfg.data.batch_size
     epochs = max(1, args.steps // steps_per_epoch)
+
+    done_epochs = 0
+    try:
+        from vptr_tpu.train.checkpoint import CheckpointManager
+
+        done_epochs = int(CheckpointManager(
+            str(Path(cfg.ckpt_dir) / "ckpt")).load_history().get("epoch", 0))
+    except Exception:
+        pass
+    remaining = epochs - done_epochs
+    this_proc = (min(remaining, args.chunk_epochs)
+                 if args.chunk_epochs else remaining)
     trainer = Trainer(cfg)
-    state = trainer.train(epochs=epochs)
+    state = trainer.train(epochs=max(this_proc, 0))
 
     (out / f"{args.stage}_history.json").write_text(
         json.dumps(trainer.history, indent=1))
+    if done_epochs + this_proc < epochs:
+        print(f"chunk done: epoch {done_epochs + this_proc}/{epochs}; "
+              "rerun to continue", flush=True)
+        sys.exit(3)
 
     # per-timestep metric curves for every applicable rollout mode
     modes = ["far", "far_rip", "far_ril"] if args.stage == "far" else ["nar"]

@@ -194,6 +194,11 @@ class ExperimentConfig:
     val_per_epochs: int = 4
     ckpt_dir: str = "ckpts"
     ckpt_keep: int = 3
+    ckpt_per_epochs: int = 1            # save cadence; the final epoch of a
+                                        # train() call always saves. >1 cuts
+                                        # full-state fetches over the remote
+                                        # relay on long runs (host RSS grows
+                                        # with per-epoch relay traffic)
     resume: bool = True
     ae_ckpt: Optional[str] = None       # stage-2: path of the stage-1 AE checkpoint
     log_every: int = 50

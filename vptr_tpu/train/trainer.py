@@ -335,7 +335,9 @@ class Trainer:
                 if sample is not None and self.write_outputs:
                     self._dump_gifs(epoch, *sample)
 
-            if self.ckpt is not None:
+            last = epoch == start_epoch + epochs
+            if self.ckpt is not None and (last or
+                                          epoch % cfg.ckpt_per_epochs == 0):
                 self.history["epoch"] = epoch
                 self.ckpt.save(int(jax.device_get(state.step)), state,
                                config_json=cfg.to_json(),

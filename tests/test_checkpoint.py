@@ -127,3 +127,20 @@ def test_reference_envelope_tolerated(tmp_path):
     converted = import_reference_checkpoint(str(path))
     # the disc is an unrecognized module -> skipped; nothing else crashes
     assert converted == {}
+
+
+@pytest.mark.slow
+def test_ckpt_per_epochs_cadence(tmp_path):
+    """ckpt_per_epochs=2 over 3 epochs saves at epochs 2 and 3 (the final
+    epoch of a train() call always saves), never at epoch 1."""
+    cfg = get_preset("ae_mnist").override({
+        **TINY_AE, "epochs": 3, "steps_per_epoch": 1, "val_per_epochs": 99,
+        "ckpt_per_epochs": 2, "ckpt_dir": str(tmp_path / "run"),
+    })
+    tr = Trainer(cfg)  # write_outputs=True: ckpt lives behind it
+    tr.train()
+    mgr = CheckpointManager(str(tmp_path / "run" / "ckpt"))
+    steps = sorted(mgr.all_steps())
+    assert steps == [2, 3], steps
+    assert mgr.load_history()["epoch"] == 3
+    mgr.close()

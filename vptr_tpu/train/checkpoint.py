@@ -38,6 +38,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return list(self._mgr.all_steps())
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:

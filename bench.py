@@ -36,8 +36,13 @@ def main():
     parser.add_argument("--batch", type=int, default=None,
                         help="per-chip batch (default: the preset's "
                              "reference batch — FAR 10, NAR 16)")
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=24)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--steps-per-dispatch", type=int, default=0,
+                        help="fold K steps into one jitted lax.scan "
+                             "dispatch (amortizes the ~11 ms/call relay "
+                             "dispatch overhead; 0 = auto: 8 on TPU, "
+                             "1 elsewhere — the trainer default)")
     parser.add_argument("--quick", action="store_true",
                         help="tiny config for CI/CPU smoke")
     parser.add_argument("--attention", default="full",
@@ -63,6 +68,7 @@ def main():
     batch = args.batch if args.batch is not None else \
         get_preset(args.preset).data.batch_size
     overrides = {"dtype": args.dtype,
+                 "steps_per_dispatch": args.steps_per_dispatch,
                  "data": {"batch_size": batch},
                  # dropout stays ACTIVE in all modes: the fused kernels run
                  # attention-weight dropout in-kernel (parity semantics)
@@ -83,26 +89,47 @@ def main():
 
     d = cfg.data
     rng = np.random.default_rng(0)
-    past = rng.random((batch, d.num_past_frames, d.img_size,
-                       d.img_size, d.img_channels), np.float32)
-    future = rng.random((batch, d.num_future_frames, d.img_size,
-                         d.img_size, d.img_channels), np.float32)
-    b = trainer.put_batch(past, future)
+    k = trainer.steps_per_dispatch
 
-    for _ in range(args.warmup):
-        state, metrics = trainer.train_step(state, *b)
+    def rand_clips(n, t):
+        return rng.random((n, t, d.img_size, d.img_size, d.img_channels),
+                          np.float32)
+
     # NOTE: block_until_ready does not actually synchronize on the axon
     # relay platform — only a host fetch of a dependent value does. The
     # fetched loss depends transitively on every step in the chain.
-    float(metrics["T_total"])
+    if k > 1:
+        # K DISTINCT batches per dispatch, scanned on device (the trainer's
+        # steps_per_dispatch path — one jit call per K steps)
+        past_k = np.stack([rand_clips(batch, d.num_past_frames)
+                           for _ in range(k)])
+        future_k = np.stack([rand_clips(batch, d.num_future_frames)
+                             for _ in range(k)])
+        bk = trainer.put_batch_stacked(past_k, future_k)
+        dispatches = max(1, -(-args.steps // k))
+        n_steps = dispatches * k
+        state, metrics = trainer.multi_train_step(state, *bk)
+        float(metrics["T_total"][-1])
+        t0 = time.perf_counter()
+        for _ in range(dispatches):
+            state, metrics = trainer.multi_train_step(state, *bk)
+        float(metrics["T_total"][-1])
+        dt = time.perf_counter() - t0
+        metrics = {key: v[-1] for key, v in metrics.items()}
+    else:
+        b = trainer.put_batch(rand_clips(batch, d.num_past_frames),
+                              rand_clips(batch, d.num_future_frames))
+        n_steps = args.steps
+        for _ in range(args.warmup):
+            state, metrics = trainer.train_step(state, *b)
+        float(metrics["T_total"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = trainer.train_step(state, *b)
+        float(metrics["T_total"])
+        dt = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = trainer.train_step(state, *b)
-    float(metrics["T_total"])
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = args.steps / dt
+    steps_per_sec = n_steps / dt
     t = cfg.transformer
     if cfg.stage == "far":
         # frames processed by the transformer per step (teacher forcing:

@@ -147,6 +147,33 @@ def main():
 
         _probe("ln_window", (x, ls, lb) + pp, kern, ref)
 
+    if "ln_window_res" in args.probes:
+        # residual-folded sublayer kernel vs (LN kernel + XLA residual add):
+        # numerics should match ~exactly; the timing columns compare the
+        # in-kernel residual against the XLA-side x + y at the window shape
+        from vptr_tpu.ops.fused_window_attention import fused_attention_ln_res
+
+        x = jnp.asarray(rng.normal(size=(760, 16, c))
+                        .astype(np.float32)).astype(dt)
+        pos = jnp.asarray(rng.normal(size=(16, c)).astype(np.float32))
+        ls = jnp.asarray(1 + 0.1 * rng.normal(size=(c,)).astype(np.float32))
+        lb = jnp.asarray(0.1 * rng.normal(size=(c,)).astype(np.float32))
+        pp = params()
+
+        def kern(x, ls, lb, *pp):
+            return fused_attention_ln_res(x, *pp, ls, lb, pos, None, None,
+                                          0, heads, 0.0, args.fwd_block,
+                                          interp, args.bwd_block)
+
+        def ref(x, ls, lb, *pp):
+            y = fused_attention_ln(x, *pp, ls, lb, pos, None, 0, heads,
+                                   0.0, args.fwd_block, interp,
+                                   args.bwd_block)
+            return (x.astype(jnp.float32)
+                    + y.astype(jnp.float32)).astype(x.dtype)
+
+        _probe("ln_window_res", (x, ls, lb) + pp, kern, ref)
+
     if "ln_temporal" in args.probes:
         x = jnp.asarray(rng.normal(size=(640, 19, c))
                         .astype(np.float32)).astype(dt)

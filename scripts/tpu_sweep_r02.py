@@ -46,19 +46,36 @@ def run_variant(name: str, overrides: dict, batch: int, steps: int,
                        d.img_channels), np.float32)
     future = rng.random((batch, d.num_future_frames, d.img_size, d.img_size,
                          d.img_channels), np.float32)
-    b = trainer.put_batch(past, future)
 
-    t_compile = time.perf_counter()
-    for _ in range(warmup):
-        state, metrics = trainer.train_step(state, *b)
-    loss0 = float(metrics["T_total"])
-    compile_s = time.perf_counter() - t_compile
+    k = trainer.steps_per_dispatch if trainer.multi_train_step else 1
+    if k > 1:
+        bk = trainer.put_batch_stacked(
+            np.stack([past] * k), np.stack([future] * k))
+        dispatches = max(1, steps // k)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = trainer.train_step(state, *b)
-    loss = float(metrics["T_total"])
-    dt = time.perf_counter() - t0
+        t_compile = time.perf_counter()
+        state, metrics = trainer.multi_train_step(state, *bk)
+        loss0 = float(metrics["T_total"][0])
+        compile_s = time.perf_counter() - t_compile
+        t0 = time.perf_counter()
+        for _ in range(dispatches):
+            state, metrics = trainer.multi_train_step(state, *bk)
+        loss = float(metrics["T_total"][-1])
+        dt = time.perf_counter() - t0
+        steps = dispatches * k
+    else:
+        b = trainer.put_batch(past, future)
+        t_compile = time.perf_counter()
+        for _ in range(warmup):
+            state, metrics = trainer.train_step(state, *b)
+        loss0 = float(metrics["T_total"])
+        compile_s = time.perf_counter() - t_compile
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = trainer.train_step(state, *b)
+        loss = float(metrics["T_total"])
+        dt = time.perf_counter() - t0
 
     frames = batch * (d.num_past_frames + d.num_future_frames - 1)
     out = {"variant": name, "ms_per_step": round(1e3 * dt / steps, 2),
@@ -82,6 +99,16 @@ VARIANTS = {
                                 "fused_full": True, "fused_dw": True}},
     "full_bigtile": {"transformer": {"fused_attention": True,
                                      "fused_full": True}},
+    "full_res": {"transformer": {"fused_attention": True,
+                                 "fused_full": True,
+                                 "fused_residual": True}},
+    "full_dispatch": {"steps_per_dispatch": 8,
+                      "transformer": {"fused_attention": True,
+                                      "fused_full": True}},
+    "full_res_dispatch": {"steps_per_dispatch": 8,
+                          "transformer": {"fused_attention": True,
+                                          "fused_full": True,
+                                          "fused_residual": True}},
     "core_ffn": {"transformer": {"fused_attention": True,
                                  "fused_ffn": True}},
     "core_nodrop": {"transformer": {"fused_attention": True,

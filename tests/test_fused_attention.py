@@ -376,3 +376,124 @@ def test_mha_ln_folding_matches_explicit_norm():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3), ga, gb)
+
+
+def test_fused_ln_res_matches_reference():
+    """Residual-folded sublayer kernel: out = x + scale*attn(LN(x)+pos) —
+    fwd + grads (incl. through the skip path) vs the XLA oracle. scale is
+    non-differentiable dropout data (the kernel returns zero for it by
+    design), so it is held out of the grad argnums."""
+    from vptr_tpu.ops.fused_window_attention import (
+        _reference_attention_ln_res,
+        fused_attention_ln_res,
+    )
+
+    bw, tokens, c, heads = 6, 16, 32, 4
+    x = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    ls = jnp.asarray(1.0 + 0.1 * RNG.normal(size=(c,)).astype(np.float32))
+    lb = jnp.asarray(0.1 * RNG.normal(size=(c,)).astype(np.float32))
+    pos = jnp.asarray(RNG.normal(size=(tokens, c)).astype(np.float32))
+    scale = jnp.asarray(
+        (RNG.random(bw) > 0.3).astype(np.float32) / 0.7)
+
+    ref = _reference_attention_ln_res(x, *params, ls, lb, pos, None, scale,
+                                      num_heads=heads)
+    got = fused_attention_ln_res(x, *params, ls, lb, pos, None, scale, 0,
+                                 heads, 0.0, 4, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fused(x, *pt):
+        return jnp.sum(fused_attention_ln_res(
+            x, *pt[:8], pt[8], pt[9], pos, None, scale, 0, heads,
+            0.0, 4, True) ** 2)
+
+    def loss_ref(x, *pt):
+        return jnp.sum(_reference_attention_ln_res(
+            x, *pt[:8], pt[8], pt[9], pos, None, scale,
+            num_heads=heads) ** 2)
+
+    args = (x,) + params + (ls, lb)
+    gf = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(11)))(*args)
+    names = ["x", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "ls", "lb"]
+    for name, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_fused_ln_res_dropout_and_no_scale():
+    from vptr_tpu.ops.fused_window_attention import (
+        _reference_attention_ln_res,
+        fused_attention_ln_res,
+    )
+
+    bw, tokens, c, heads, rate, seed = 6, 16, 32, 4, 0.3, 55
+    x = jnp.asarray(RNG.normal(size=(bw, tokens, c)).astype(np.float32))
+    params = _params(c)
+    ls = jnp.ones((c,), jnp.float32)
+    lb = jnp.zeros((c,), jnp.float32)
+    keep = dropout_keep_mask(seed, bw, heads, tokens, rate)
+    got = fused_attention_ln_res(x, *params, ls, lb, None, None, None, seed,
+                                 heads, rate, 4, True)
+    ref = _reference_attention_ln_res(x, *params, ls, lb, None, None, None,
+                                      num_heads=heads, keep=keep, rate=rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mha_residual_fold_matches_unfolded():
+    """MultiHeadAttention(residual=True) == x + scale * MHA(ln-folded) on
+    both the fused kernel path and the XLA fallback."""
+    dim, heads, L, B = 32, 4, 16, 6
+    x = jnp.asarray(RNG.normal(size=(B, L, dim)).astype(np.float32))
+    pos = jnp.asarray(RNG.normal(size=(L, dim)).astype(np.float32))
+    ls = jnp.asarray(1.0 + 0.1 * RNG.normal(size=(dim,)).astype(np.float32))
+    lb = jnp.asarray(0.1 * RNG.normal(size=(dim,)).astype(np.float32))
+    scale = jnp.asarray((RNG.random(B) > 0.3).astype(np.float32) / 0.7)
+
+    plain = MultiHeadAttention(dim, heads, fused=False)
+    params = plain.init(jax.random.PRNGKey(0), x, x, x)
+    branch = plain.apply(params, x, x, x, ln=(ls, lb), qk_pos=pos)
+    want = x + scale[:, None, None] * branch
+
+    for fused, full in [(False, False), (True, True)]:
+        mod = MultiHeadAttention(dim, heads, fused=fused, fused_full=full,
+                                 fused_block=8)
+        got = mod.apply(params, x, x, x, ln=(ls, lb), qk_pos=pos,
+                        residual=True, branch_scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"fused={fused}")
+
+
+def test_encoder_block_fused_residual_matches_default():
+    """EncoderBlock(fused_residual=True) == the default fused block in
+    deterministic mode (the fold is exact); in train mode it runs and
+    differs only through the DropPath rng stream."""
+    from vptr_tpu.models.transformer import EncoderBlock
+
+    dim, heads = 32, 4
+    x = jnp.asarray(RNG.normal(size=(2, 5, 8, 8, dim)).astype(np.float32))
+    pos2d = jnp.asarray(RNG.normal(size=(4, 4, dim)).astype(np.float32))
+    pos_t = jnp.asarray(RNG.normal(size=(5, dim)).astype(np.float32))
+
+    kw = dict(dim=dim, num_heads=heads, window=4, dropout=0.1,
+              drop_path=0.1, dim_feedforward=2 * dim, far=True,
+              fused_attention=True, fused_full=True)
+    b0 = EncoderBlock(**kw)
+    b1 = EncoderBlock(fused_residual=True, **kw)
+    params = b0.init({"params": jax.random.PRNGKey(0)}, x, pos2d, pos_t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                b1.init({"params": jax.random.PRNGKey(0)}, x, pos2d, pos_t)))
+
+    y0 = b0.apply(params, x, pos2d, pos_t)
+    y1 = b1.apply(params, x, pos2d, pos_t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
+
+    y_tr = b1.apply(params, x, pos2d, pos_t, True, False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.all(np.isfinite(np.asarray(y_tr)))

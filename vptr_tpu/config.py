@@ -96,6 +96,10 @@ class TransformerConfig:
                                         # FLOPs, cancelling the fusion win —
                                         # temporal stays on the attention-core
                                         # kernel by default (BENCH_NOTES.md)
+    fused_residual: bool = False        # fold the window sublayer's residual
+                                        # add + DropPath into the fused
+                                        # kernel (encoder blocks; requires
+                                        # fused_full)
     fused_dw: bool = False              # Pallas fused norm1+GELU+dw3x3+
                                         # norm2+GELU+drop between the conv
                                         # FFN's 1x1 GEMMs (the two
@@ -191,6 +195,12 @@ class ExperimentConfig:
     rng_impl: str = "rbg"               # rbg (fast on TPU) | threefry2x32
     epochs: int = 100
     steps_per_epoch: Optional[int] = None   # None: one pass over the dataset
+    steps_per_dispatch: int = 0         # fold K train steps into one jitted
+                                        # lax.scan dispatch: the remote-relay
+                                        # TPU pays ~11 ms of host dispatch
+                                        # per jit call that a scan amortizes
+                                        # (scripts/dispatch_overhead_probe).
+                                        # 0 = auto: 8 on TPU, 1 elsewhere
     val_per_epochs: int = 4
     ckpt_dir: str = "ckpts"
     ckpt_keep: int = 3

@@ -154,16 +154,34 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None, ln=None,
-                 qk_pos=None, deterministic: bool = True):
+                 qk_pos=None, deterministic: bool = True,
+                 residual: bool = False, branch_scale=None):
         """``ln``: optional (scale, bias) of the sublayer's leading
         LayerNorm — callers then pass the RAW (pre-norm) x as q_in=k_in=v_in
         and the module computes q/k = LN(x) + qk_pos, v = LN(x). On the
         fully-fused path the norm runs inside the Pallas kernel (an XLA-side
         LN cannot fuse across the opaque kernel boundary); other paths apply
         it in XLA first. ``qk_pos``: optional non-learned (L, C) position
-        table added to q/k only."""
+        table added to q/k only.
+
+        ``residual=True`` (requires ``ln``) changes the contract: the module
+        returns the FULL pre-norm sublayer ``x + branch_scale * attn(...)``
+        — on the fully-fused path the residual add (and the per-window
+        DropPath factor ``branch_scale``, shape (leading batch,) f32) runs
+        inside the kernel; fallback paths apply it in XLA."""
         assert self.dim % self.num_heads == 0
         hd = self.dim // self.num_heads
+        assert not residual or ln is not None, "residual=True requires ln"
+        x_raw = q_in
+
+        def with_residual(y):
+            if not residual:
+                return y
+            y32 = y.astype(jnp.float32)
+            if branch_scale is not None:
+                s = branch_scale.astype(jnp.float32)
+                y32 = y32 * s.reshape(s.shape + (1,) * (y.ndim - 1))
+            return (x_raw.astype(jnp.float32) + y32).astype(y.dtype)
 
         def full_bias_of(bias, mask):
             if mask is None:
@@ -191,22 +209,31 @@ class MultiHeadAttention(nn.Module):
                 "ln folding expects the raw x as q_in = k_in = v_in"
             if (self.fused and self.fused_full and
                     q_in.shape[-1] == self.dim):
-                from vptr_tpu.ops.fused_window_attention import \
-                    fused_attention_ln
+                from vptr_tpu.ops.fused_window_attention import (
+                    fused_attention_ln,
+                    fused_attention_ln_res,
+                )
 
                 rate = 0.0 if deterministic else self.dropout
                 (wq, bq), (wk, bk), (wv, bv), (wo, bo) = dense_params()
                 lead, l = q_in.shape[:-2], q_in.shape[-2]
-                out = fused_attention_ln(
-                    q_in.reshape((-1, l, self.dim)).astype(self.dtype),
-                    wq, bq, wk, bk, wv, bv, wo, bo,
-                    ln[0], ln[1],
-                    (qk_pos.astype(jnp.float32)
-                     if qk_pos is not None else None),
-                    full_bias_of(bias, mask), dropout_seed(rate),
-                    self.num_heads, rate, self.fused_full_blocks[0],
-                    jax.default_backend() != "tpu",
-                    self.fused_full_blocks[1])
+                common = (wq, bq, wk, bk, wv, bv, wo, bo, ln[0], ln[1],
+                          (qk_pos.astype(jnp.float32)
+                           if qk_pos is not None else None),
+                          full_bias_of(bias, mask))
+                xf = q_in.reshape((-1, l, self.dim)).astype(self.dtype)
+                if residual:
+                    out = fused_attention_ln_res(
+                        xf, *common, branch_scale, dropout_seed(rate),
+                        self.num_heads, rate, self.fused_full_blocks[0],
+                        jax.default_backend() != "tpu",
+                        self.fused_full_blocks[1])
+                else:
+                    out = fused_attention_ln(
+                        xf, *common, dropout_seed(rate),
+                        self.num_heads, rate, self.fused_full_blocks[0],
+                        jax.default_backend() != "tpu",
+                        self.fused_full_blocks[1])
                 return out.reshape(lead + (l, self.dim))
             # non-folded paths: materialize the norm in XLA, continue below
             xn = layernorm_xla(q_in, ln[0], ln[1], self.dtype)
@@ -235,7 +262,7 @@ class MultiHeadAttention(nn.Module):
                 full_bias_of(bias, mask), dropout_seed(rate),
                 self.num_heads, rate, self.fused_full_blocks[0],
                 jax.default_backend() != "tpu", self.fused_full_blocks[1])
-            return out.reshape(lead + (l, self.dim))
+            return with_residual(out.reshape(lead + (l, self.dim)))
 
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,
                                       kernel_init=self.kernel_init,
@@ -285,7 +312,7 @@ class MultiHeadAttention(nn.Module):
                            dropout_rng=drop_rng, dtype=self.dtype)
         out = jnp.moveaxis(out, -3, -2)
         out = out.reshape(out.shape[:-2] + (self.dim,))
-        return dense("out_proj")(out)
+        return with_residual(dense("out_proj")(out))
 
 
 class WindowAttention(nn.Module):
@@ -309,10 +336,16 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos2d, *, value=None, ln=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, residual: bool = False,
+                 branch_scale=None):
         """``ln``: optional (scale, bias) of the block's leading LayerNorm —
         pass the RAW pre-norm x then; the norm folds into the fused kernel
-        (or runs in XLA on fallback paths). Requires ``value is None``."""
+        (or runs in XLA on fallback paths). Requires ``value is None``.
+
+        ``residual=True`` (requires ``ln``) returns the FULL sublayer
+        ``x + branch_scale * attn(...)`` with the residual add (and the
+        per-frame DropPath factor ``branch_scale``, shape (N*T,) f32)
+        folded into the fused kernel."""
         n, t, h, w, c = x.shape
         tokens = self.window * self.window
 
@@ -337,8 +370,16 @@ class WindowAttention(nn.Module):
         if ln is not None:
             assert value is None, "ln folding requires value is None"
             qk_pos = None if self.rpe else pos2d.reshape(tokens, c)
+            win_scale = None
+            if residual and branch_scale is not None:
+                # per-frame DropPath factor -> per-window (windows are
+                # frame-major in window_partition order)
+                wins_per_frame = xw.shape[0] // (n * t)
+                win_scale = jnp.repeat(branch_scale.astype(jnp.float32),
+                                       wins_per_frame)
             out = mha(xw, xw, xw, bias=bias, ln=ln, qk_pos=qk_pos,
-                      deterministic=deterministic)
+                      deterministic=deterministic, residual=residual,
+                      branch_scale=win_scale)
         else:
             if self.rpe:
                 qk_in = xw

@@ -62,6 +62,8 @@ class EncoderBlock(nn.Module):
     fused_full_temporal: bool = False  # extend full fusion to the temporal
                                        # sublayer (padded tokens; measured
                                        # ~neutral on v5e — see BENCH_NOTES)
+    fused_residual: bool = False       # fold the window sublayer's residual
+                                       # add + DropPath into the fused kernel
     fused_ffn: bool = False            # Pallas LN+fc1+GELU+drop+fc2 kernel
                                        # for the linear FFN sublayer
     fused_dw: bool = False             # Pallas fused norm1+GELU+dw3x3+norm2+
@@ -91,12 +93,27 @@ class EncoderBlock(nn.Module):
                              fused=self.fused_attention,
                              fused_full=self.fused_full, dtype=self.dtype,
                              name="slmhsa")
-        if fold:
+        if fold and self.fused_residual:
+            # residual + DropPath fold into the kernel. The DropPath draw
+            # uses the same per-clip bernoulli semantics as the DropPath
+            # module, but a separate rng stream (documented in BENCH_NOTES).
+            scale = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                            (x.shape[0],))
+                scale = jnp.repeat((mask / keep).astype(jnp.float32),
+                                   x.shape[1])
+            x = wa(x, pos2d, ln=_LnScaleBias(name="norm1")(self.dim),
+                   residual=True, branch_scale=scale,
+                   deterministic=deterministic)
+        elif fold:
             y = wa(x, pos2d, ln=_LnScaleBias(name="norm1")(self.dim),
                    deterministic=deterministic)
+            x = x + dp(y, deterministic=deterministic)
         else:
             y = wa(ln("norm1")(x), pos2d, deterministic=deterministic)
-        x = x + dp(y, deterministic=deterministic)
+            x = x + dp(y, deterministic=deterministic)
 
         # 2) conv feed-forward (cross-window mixing)
         y = MlpDWBN(self.dim, self.ffn_hidden_ratio * self.dim, norm=ffn_norm,
@@ -151,6 +168,7 @@ class DecoderBlockNAR(nn.Module):
     fused_attention: bool = False
     fused_full: bool = False
     fused_full_temporal: bool = False
+    fused_residual: bool = False
     fused_ffn: bool = False
     fused_dw: bool = False
     fused_conv_ffn: bool = False
@@ -292,6 +310,7 @@ class _ScanEncoderBlock(nn.Module):
     remat: bool
     fused_full: bool = False
     fused_full_temporal: bool = False
+    fused_residual: bool = False
     fused_ffn: bool = False
     fused_dw: bool = False
     fused_conv_ffn: bool = False
@@ -309,6 +328,7 @@ class _ScanEncoderBlock(nn.Module):
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
                 fused_full_temporal=self.fused_full_temporal,
+                fused_residual=self.fused_residual,
                 fused_ffn=self.fused_ffn,
                 fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
@@ -336,6 +356,7 @@ class _ScanDecoderBlockNAR(nn.Module):
     remat: bool
     fused_full: bool = False
     fused_full_temporal: bool = False
+    fused_residual: bool = False
     fused_ffn: bool = False
     fused_dw: bool = False
     fused_conv_ffn: bool = False
@@ -353,6 +374,7 @@ class _ScanDecoderBlockNAR(nn.Module):
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
                 fused_full_temporal=self.fused_full_temporal,
+                fused_residual=self.fused_residual,
                 fused_ffn=self.fused_ffn,
                 fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
@@ -386,6 +408,7 @@ class VPTRFormerFAR(nn.Module):
     fused_attention: bool = False
     fused_full: bool = False
     fused_full_temporal: bool = False
+    fused_residual: bool = False
     fused_ffn: bool = False
     fused_dw: bool = False
     fused_conv_ffn: bool = False
@@ -417,6 +440,7 @@ class VPTRFormerFAR(nn.Module):
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
                           fused_full_temporal=self.fused_full_temporal,
+                fused_residual=self.fused_residual,
                           fused_ffn=self.fused_ffn,
                           fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
@@ -467,6 +491,7 @@ class VPTRFormerNAR(nn.Module):
     fused_attention: bool = False
     fused_full: bool = False
     fused_full_temporal: bool = False
+    fused_residual: bool = False
     fused_ffn: bool = False
     fused_dw: bool = False
     fused_conv_ffn: bool = False
@@ -489,6 +514,7 @@ class VPTRFormerNAR(nn.Module):
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
                           fused_full_temporal=self.fused_full_temporal,
+                fused_residual=self.fused_residual,
                           fused_ffn=self.fused_ffn,
                           fused_dw=self.fused_dw,
                 fused_conv_ffn=self.fused_conv_ffn,
@@ -622,6 +648,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
                   fused_full=cfg.fused_full,
                   fused_full_temporal=cfg.fused_full_temporal,
+                  fused_residual=cfg.fused_residual,
                   fused_ffn=cfg.fused_ffn,
                   fused_dw=cfg.fused_dw,
                   fused_conv_ffn=cfg.fused_conv_ffn,

@@ -478,8 +478,9 @@ def _reference_attention_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
 
 def _kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                bv_ref, wo_ref, bo_ref, ls_ref, lb_ref, pos_ref, bias_ref,
-               o_ref, *, num_heads: int, tokens: int, use_bias: bool,
-               use_pos: bool, rate: float):
+               scale_ref, o_ref, *, num_heads: int, tokens: int,
+               use_bias: bool, use_pos: bool, rate: float, res: bool,
+               use_scale: bool):
     i = pl.program_id(0)
     tb = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -509,6 +510,14 @@ def _kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     attn2 = jnp.concatenate(attn_parts, axis=-1).reshape(tb * tokens, c)
     out = jnp.dot(attn2, wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32)
+    if use_scale:
+        # per-window branch scale (DropPath mask / keep), broadcast over C
+        out = (out.reshape(tb, tokens, c)
+               * scale_ref[:][..., None]).reshape(tb * tokens, c)
+    if res:
+        out = out + x2   # residual add in f32 — the skip source is already
+                         # in VMEM, so the XLA-side x + drop_path(y) read of
+                         # both tensors never happens
     o_ref[:] = out.astype(o_ref.dtype).reshape(tb, tokens, c)
 
 
@@ -540,9 +549,18 @@ def _ln_specs(c, num_heads, tokens, tb):
     return mat, vec, seq, bias_spec, posspec
 
 
+def _scale_rows(scale, bw_padded, tokens):
+    """(BW,) per-window scale -> (BW_padded, tokens) f32 kernel input."""
+    s = jnp.asarray(scale).astype(jnp.float32)
+    if s.shape[0] < bw_padded:
+        s = jnp.concatenate(
+            [s, jnp.zeros((bw_padded - s.shape[0],), jnp.float32)])
+    return jnp.repeat(s[:, None], tokens, axis=1)
+
+
 def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
                       seed, num_heads: int, rate: float, block_windows: int,
-                      interpret: bool):
+                      interpret: bool, scale=None, res: bool = False):
     x, bias, pos, _, l_orig = _ln_pad(x, bias, pos)
     bw, tokens, c = x.shape
     bias, use_bias, seed = _prep(bias, num_heads, tokens, seed)
@@ -555,25 +573,31 @@ def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, tokens, c), x.dtype)], axis=0)
     grid = (x.shape[0] // tb,)
+    use_scale = scale is not None
+    scale_in = (_scale_rows(scale, x.shape[0], tokens) if use_scale
+                else jnp.ones((x.shape[0], tokens), jnp.float32))
 
     mat, vec, seq, bias_spec, posspec = _ln_specs(c, num_heads, tokens, tb)
+    scale_spec = pl.BlockSpec((tb, tokens), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel_ln, num_heads=num_heads, tokens=tokens,
-                          use_bias=use_bias, use_pos=use_pos, rate=rate),
+                          use_bias=use_bias, use_pos=use_pos, rate=rate,
+                          res=res, use_scale=use_scale),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seq(),
             mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec(),
-            vec(), vec(), posspec(), bias_spec(),
+            vec(), vec(), posspec(), bias_spec(), scale_spec,
         ],
         out_specs=seq(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, x, wq, bq, wk, bk, wv, bv, wo, bo,
-      ls.astype(jnp.float32), lb.astype(jnp.float32), pos_in, bias)
+      ls.astype(jnp.float32), lb.astype(jnp.float32), pos_in, bias, scale_in)
     if pad:
         out = out[:bw]
     return out[:, :l_orig] if l_orig != tokens else out
@@ -581,10 +605,11 @@ def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
 
 def _bwd_kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                    bv_ref, wo_ref, bo_ref, ls_ref, lb_ref, pos_ref, bias_ref,
-                   g_ref, dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
-                   dwv_ref, dbv_ref, dwo_ref, dbo_ref, dls_ref, dlb_ref,
-                   dbias_ref, *, num_heads: int, tokens: int, use_bias: bool,
-                   use_pos: bool, rate: float):
+                   scale_ref, g_ref, dx_ref, dwq_ref, dbq_ref, dwk_ref,
+                   dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref, dls_ref,
+                   dlb_ref, dbias_ref, *, num_heads: int, tokens: int,
+                   use_bias: bool, use_pos: bool, rate: float, res: bool,
+                   use_scale: bool):
     """Recompute LN + forward in VMEM; emit per-tile dx and grid-accumulated
     weight / LN-affine / bias grads."""
     i = pl.program_id(0)
@@ -592,7 +617,14 @@ def _bwd_kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     c = x_ref.shape[-1]
     hd = c // num_heads
     x2 = x_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
-    g2 = g_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    g2_raw = g_ref[:].reshape(tb * tokens, c).astype(jnp.float32)
+    if use_scale:
+        # the branch's upstream cotangent is scaled by the DropPath factor;
+        # the residual skip (added below) passes g through unscaled
+        g2 = (g2_raw.reshape(tb, tokens, c)
+              * scale_ref[:][..., None]).reshape(tb * tokens, c)
+    else:
+        g2 = g2_raw
     xn32, xhat, rstd = _ln_rows(x2, ls_ref[:], lb_ref[:])
     xn = xn32.astype(x_ref.dtype)
     if use_pos:
@@ -669,6 +701,8 @@ def _bwd_kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     m1 = jnp.mean(dxhat, axis=1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
     dx = (dxhat - m1 - xhat * m2) * rstd
+    if res:
+        dx = dx + g2_raw   # residual skip: d(x + scale*branch)/dx = 1
     dx_ref[:] = dx.astype(dx_ref.dtype).reshape(tb, tokens, c)
 
     @pl.when(i == 0)
@@ -702,7 +736,8 @@ def _bwd_kernel_ln(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
 
 def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
                        seed, g, num_heads: int, rate: float,
-                       block_windows: int, interpret: bool):
+                       block_windows: int, interpret: bool, scale=None,
+                       res: bool = False):
     x, bias_p, pos_p, g, l_orig = _ln_pad(x, bias, pos, g)
     bw, tokens, c = x.shape
     bias_in, use_bias, seed_in = _prep(bias_p, num_heads, tokens, seed)
@@ -717,12 +752,18 @@ def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
         x = jnp.concatenate([x, zeros], axis=0)
         g = jnp.concatenate([g, jnp.zeros((pad, tokens, c), g.dtype)], axis=0)
     grid = (x.shape[0] // tb,)
+    use_scale = scale is not None
+    scale_in = (_scale_rows(scale, x.shape[0], tokens) if use_scale
+                else jnp.ones((x.shape[0], tokens), jnp.float32))
+    scale_spec = pl.BlockSpec((tb, tokens), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
 
     mat, vec, seq, bias_spec, posspec = _ln_specs(c, num_heads, tokens, tb)
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel_ln, num_heads=num_heads, tokens=tokens,
-                          use_bias=use_bias, use_pos=use_pos, rate=rate),
+                          use_bias=use_bias, use_pos=use_pos, rate=rate,
+                          res=res, use_scale=use_scale),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),         # dx
             jax.ShapeDtypeStruct((c, c), f32),              # dwq
@@ -742,7 +783,7 @@ def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             seq(),
             mat(), vec(), mat(), vec(), mat(), vec(), mat(), vec(),
-            vec(), vec(), posspec(), bias_spec(), seq(),
+            vec(), vec(), posspec(), bias_spec(), scale_spec, seq(),
         ],
         out_specs=(seq(), mat(), vec(), mat(), vec(), mat(), vec(),
                    mat(), vec(), vec(), vec(), bias_spec()),
@@ -751,7 +792,7 @@ def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed_in, x, wq, bq, wk, bk, wv, bv, wo, bo,
-      ls.astype(f32), lb.astype(f32), pos_in, bias_in, g)
+      ls.astype(f32), lb.astype(f32), pos_in, bias_in, scale_in, g)
     dx = outs[0]
     if pad:
         dx = dx[:bw]
@@ -812,6 +853,77 @@ def _ln_bwd(num_heads, rate, block_windows, interpret, block_windows_bwd,
 
 
 fused_attention_ln.defvjp(_ln_fwd, _ln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Residual-folded variant: the ENTIRE pre-norm sublayer
+#     out = x + scale * out_proj(attn(q/k = LN(x) + pos, v = LN(x)))
+# in one kernel per direction. ``scale`` is the per-window DropPath factor
+# (mask / keep, or None when inactive). The skip source x is already in VMEM
+# for the LayerNorm, so folding the residual removes the XLA-side
+# ``x + drop_path(y)`` — which reads both full tensors and writes a third —
+# at the opaque kernel boundary, in both directions (backward's skip-path
+# cotangent add happens in-kernel too). ``scale`` is treated as
+# non-differentiable data (a dropout mask); its returned cotangent is zero.
+# ---------------------------------------------------------------------------
+
+
+def _reference_attention_ln_res(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb,
+                                pos, bias, scale, num_heads: int, keep=None,
+                                rate: float = 0.0):
+    """XLA oracle for the residual-folded sublayer."""
+    y = _reference_attention_ln(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb,
+                                pos, bias, num_heads, keep=keep, rate=rate)
+    y32 = y.astype(jnp.float32)
+    if scale is not None:
+        y32 = y32 * jnp.asarray(scale).astype(jnp.float32)[:, None, None]
+    return (x.astype(jnp.float32) + y32).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
+def fused_attention_ln_res(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb,
+                           pos=None, bias=None, scale=None, seed=0,
+                           num_heads: int = 8, dropout_rate: float = 0.0,
+                           block_windows: int = 64, interpret: bool = False,
+                           block_windows_bwd: int = 32):
+    """Residual-folded fused attention sublayer over (B, tokens, C).
+
+    Computes ``x + scale * out_proj(attn(q/k=LN(x)+pos, v=LN(x)))`` in one
+    kernel per direction. ``scale``: optional (B,) f32 per-window branch
+    factor (the DropPath mask / keep-prob) — non-differentiable data, zero
+    cotangent. Other args as :func:`fused_attention_ln`.
+    """
+    return _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
+                             bias, seed, num_heads, dropout_rate,
+                             block_windows, interpret, scale=scale, res=True)
+
+
+def _ln_res_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, scale,
+                seed, num_heads, rate, block_windows, interpret,
+                block_windows_bwd):
+    out = _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos,
+                            bias, seed, num_heads, rate, block_windows,
+                            interpret, scale=scale, res=True)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, scale,
+                 seed)
+
+
+def _ln_res_bwd(num_heads, rate, block_windows, interpret, block_windows_bwd,
+                residuals, g):
+    (x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias, scale,
+     seed) = residuals
+    grads = _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb,
+                               pos, bias, seed, g, num_heads, rate,
+                               block_windows_bwd, interpret, scale=scale,
+                               res=True)
+    # grads = (dx, dw/db x4, dls, dlb, dpos, dbias); insert dscale before
+    # dseed (scale is a dropout mask, not a trained quantity)
+    dscale = jnp.zeros_like(scale) if scale is not None else None
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return grads + (dscale, dseed)
+
+
+fused_attention_ln_res.defvjp(_ln_res_fwd, _ln_res_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))

@@ -50,6 +50,21 @@ def _dtype_of(name: str):
             "float16": jnp.float16}[name]
 
 
+def _expand_metrics(fetched):
+    """Flatten multi-step dispatch metrics: dicts whose values are (K,)
+    stacked arrays become K per-step dicts; scalar dicts pass through."""
+    out = []
+    for m in fetched:
+        vals = next(iter(m.values()), None)
+        if vals is not None and np.ndim(vals) == 1:
+            kk = np.shape(vals)[0]
+            out.extend({key: v[i] for key, v in m.items()}
+                       for i in range(kk))
+        else:
+            out.append(m)
+    return out
+
+
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None,
                  write_outputs: bool = True):
@@ -143,6 +158,29 @@ class Trainer:
         self.eval_step = eval_in_mesh
         self.raw_train_step = train_step   # un-jitted (scan/probe tooling)
 
+        # multi-step dispatch: fold K steps into one jitted lax.scan so the
+        # per-jit-call host dispatch overhead (~11 ms through the remote
+        # relay, scripts/dispatch_overhead_probe.py) is paid once per K
+        # steps instead of per step. 0 = auto.
+        k = cfg.steps_per_dispatch
+        if k == 0:
+            k = 8 if jax.default_backend() == "tpu" else 1
+        self.steps_per_dispatch = k
+        self.multi_train_step = None
+        if k > 1:
+            def multi_step(state, past_k, future_k):
+                def body(s, batch):
+                    return train_step(s, *batch)
+                return jax.lax.scan(body, state, (past_k, future_k))
+
+            jitted_multi = jax.jit(multi_step, donate_argnums=(0,))
+
+            def multi_in_mesh(*args):
+                with self.mesh:
+                    return jitted_multi(*args)
+
+            self.multi_train_step = multi_in_mesh
+
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None):
         with self.mesh:
@@ -228,6 +266,16 @@ class Trainer:
         future = jax.device_put(future.astype(self.dtype), sharding)
         return (past, future)
 
+    def put_batch_stacked(self, past_k: np.ndarray, future_k: np.ndarray):
+        """Stage (K, B, ...) stacked batches for a multi-step dispatch —
+        the batch axis to shard over the data mesh axis is axis 1."""
+        n_data = self.mesh.shape[DATA_AXIS]
+        sharding = (NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    if past_k.shape[1] % n_data == 0 else self.replicated)
+        past_k = jax.device_put(past_k.astype(self.dtype), sharding)
+        future_k = jax.device_put(future_k.astype(self.dtype), sharding)
+        return (past_k, future_k)
+
     # ------------------------------------------------------------------
     def train(self, state=None, epochs: Optional[int] = None):
         cfg = self.cfg
@@ -257,6 +305,28 @@ class Trainer:
             meters = AverageMeters()
             step_metrics = []
             t0, n_steps = time.perf_counter(), 0
+            # multi-step dispatch groups K batches per jit call; profiling
+            # epochs run per-step dispatches so traces stay per-step
+            use_k = self.steps_per_dispatch
+            if cfg.profile_dir and epoch == start_epoch + 1:
+                use_k = 1
+            pending = []
+
+            def run_group(state, group):
+                """One dispatch for a full K-group; singles otherwise (a
+                partial tail group would compile a second scan shape)."""
+                if len(group) == use_k and use_k > 1:
+                    past_k = np.stack([p for p, _ in group])
+                    future_k = np.stack([f for _, f in group])
+                    state, ms = self.multi_train_step(
+                        state, *self.put_batch_stacked(past_k, future_k))
+                    return state, [ms]   # metrics stacked (K,) per key
+                out = []
+                for p, f in group:
+                    state, m = self.train_step(state, *self.put_batch(p, f))
+                    out.append(m)
+                return state, out
+
             for bi, (past, future) in enumerate(train_loader):
                 if (cfg.steps_per_epoch is not None
                         and bi >= cfg.steps_per_epoch):
@@ -273,20 +343,28 @@ class Trainer:
                         profiling = False
                         self.logger.info("profiler trace written to %s",
                                          cfg.profile_dir)
-                state, metrics = self.train_step(
-                    state, *self.put_batch(past, future))
-                # keep metrics ON DEVICE: a per-step device_get would sync
-                # the host to every step and stall dispatch pipelining
-                # (measured ~40% step-rate loss); fetch in chunks large
-                # enough to amortize the sync but bounded, so long epochs
-                # don't accumulate thousands of live device scalars
-                step_metrics.append(metrics)
+                if pending and pending[0][0].shape != past.shape:
+                    # ragged batch: flush the group before shapes mix
+                    state, ms = run_group(state, pending)
+                    pending = []
+                    step_metrics.extend(ms)
+                pending.append((past, future))
                 n_steps += 1
+                if len(pending) >= use_k:
+                    state, ms = run_group(state, pending)
+                    pending = []
+                    # keep metrics ON DEVICE: a per-step device_get would
+                    # sync the host to every step and stall dispatch
+                    # pipelining (measured ~40% step-rate loss); fetch in
+                    # bounded chunks instead
+                    step_metrics.extend(ms)
                 if len(step_metrics) >= 128:
-                    for m in jax.device_get(step_metrics):
+                    for m in _expand_metrics(jax.device_get(step_metrics)):
                         meters.update(m)
                     step_metrics = []
-            for m in jax.device_get(step_metrics):
+            state, ms = run_group(state, pending)
+            step_metrics.extend(ms)
+            for m in _expand_metrics(jax.device_get(step_metrics)):
                 meters.update(m)
             jax.block_until_ready(state.step)
             if profiling:

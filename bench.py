@@ -40,9 +40,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--steps-per-dispatch", type=int, default=0,
                         help="fold K steps into one jitted lax.scan "
-                             "dispatch (amortizes the ~11 ms/call relay "
-                             "dispatch overhead; 0 = auto: 8 on TPU, "
-                             "1 elsewhere — the trainer default)")
+                             "dispatch (reclaims the measured ~2 ms/step "
+                             "residual relay dispatch cost; 0 = auto: 8 "
+                             "on TPU, 1 elsewhere — the trainer default)")
     parser.add_argument("--quick", action="store_true",
                         help="tiny config for CI/CPU smoke")
     parser.add_argument("--attention", default="full",

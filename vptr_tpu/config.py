@@ -196,9 +196,11 @@ class ExperimentConfig:
     epochs: int = 100
     steps_per_epoch: Optional[int] = None   # None: one pass over the dataset
     steps_per_dispatch: int = 0         # fold K train steps into one jitted
-                                        # lax.scan dispatch: the remote-relay
-                                        # TPU pays ~11 ms of host dispatch
-                                        # per jit call that a scan amortizes
+                                        # lax.scan dispatch. Measured win on
+                                        # the relay TPU: ~2 ms/step — async
+                                        # dispatch pipelines under the device
+                                        # work, so only the residual per-call
+                                        # cost is reclaimed
                                         # (scripts/dispatch_overhead_probe).
                                         # 0 = auto: 8 on TPU, 1 elsewhere
     val_per_epochs: int = 4

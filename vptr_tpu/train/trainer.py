@@ -159,9 +159,10 @@ class Trainer:
         self.raw_train_step = train_step   # un-jitted (scan/probe tooling)
 
         # multi-step dispatch: fold K steps into one jitted lax.scan so the
-        # per-jit-call host dispatch overhead (~11 ms through the remote
-        # relay, scripts/dispatch_overhead_probe.py) is paid once per K
-        # steps instead of per step. 0 = auto.
+        # residual per-jit-call host dispatch cost is paid once per K steps.
+        # Measured ~2 ms/step on the relay TPU (not the ~11 ms small-program
+        # floor — async dispatch pipelines under the ~160 ms of device work;
+        # scripts/dispatch_overhead_probe.py). 0 = auto.
         k = cfg.steps_per_dispatch
         if k == 0:
             k = 8 if jax.default_backend() == "tpu" else 1

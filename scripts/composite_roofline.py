@@ -1,4 +1,4 @@
-"""Composite speed-of-light bound for the full FAR train step.
+"""Composite speed-of-light bound for the full train step (FAR and NAR).
 
 The per-phase roofline (scripts/phase_roofline.py) times phases in
 ISOLATION, so their sum (~270 ms) overstates the step (~160 ms) and the
@@ -25,11 +25,12 @@ term per fusible unit:
   - AdamW traffic = 7 f32 words/param (read p, g, mu, nu; write p, mu,
     nu).
 
-No device needed — pure arithmetic over the far_mnist parity shapes.
-Pass --measured-step-ms (bench.py's 1000/steps_per_sec) to print the
-fraction of composite speed-of-light actually achieved.
+No device needed — pure arithmetic over the parity shapes. Pass
+--measured-step-ms (bench.py's 1000/steps_per_sec) to print the fraction
+of composite speed-of-light actually achieved.
 
-    python scripts/composite_roofline.py --measured-step-ms 162
+    python scripts/composite_roofline.py --measured-step-ms 162.2
+    python scripts/composite_roofline.py --preset nar_mnist --measured-step-ms 198.7
 """
 
 from __future__ import annotations
@@ -42,6 +43,12 @@ CEIL_CONV_TFLOPS = 150.0   # measured big-GEMM ceiling (convs tile there)
 CEIL_GBS = 187.0           # measured HBM bandwidth on this tunneled chip
 EL = 2                     # bf16 bytes
 
+# exact trainable-param counts from initializing the parity geometries
+# (build_transformer(get_preset(name)); matches the AdamW traffic that
+# phase_roofline measures — per-block arithmetic undercounts biases,
+# norms, queries, the NCE head)
+N_PARAMS = {"far_mnist": 88_008_096, "nar_mnist": 117_809_952}
+
 
 def lower_bound_ms(flops: float, bytes_: float, tflops=CEIL_SHAPE_TFLOPS):
     return max(flops / (tflops * 1e12), bytes_ / (CEIL_GBS * 1e9)) * 1e3
@@ -49,20 +56,22 @@ def lower_bound_ms(flops: float, bytes_: float, tflops=CEIL_SHAPE_TFLOPS):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--preset", default="far_mnist",
+                    choices=["far_mnist", "nar_mnist"])
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--measured-step-ms", type=float, default=None)
     args = ap.parse_args()
 
     from vptr_tpu.config import get_preset
-    cfg = get_preset("far_mnist").override({"data": {"batch_size": args.batch}})
+    cfg = get_preset(args.preset)
+    if args.batch is not None:
+        cfg = cfg.override({"data": {"batch_size": args.batch}})
     d, t = cfg.data, cfg.transformer
     B = d.batch_size
-    T = d.num_past_frames + d.num_future_frames - 1   # teacher forcing
+    Tp, Tf = d.num_past_frames, d.num_future_frames
     H, W, C = t.enc_h, t.enc_w, t.d_model
     Hd = t.spatial_ffn_hidden_ratio * C
-    L = t.num_encoder_layers
     win = t.window_size
-    N = B * T * H * W                                  # tokens
 
     rows, total = [], 0.0
 
@@ -71,27 +80,49 @@ def main():
         rows.append({"phase": name, "min_ms": round(ms, 2)})
         total += ms
 
-    # ---- transformer block, forward ------------------------------------
-    io_bytes = 2 * N * C * EL                  # sublayer reads x, writes y
-    proj_flops = 4 * 2 * N * C * C             # q,k,v,out projections
+    # ---- sublayer lower bounds (N tokens) -------------------------------
+    def attn_ms(n_tokens, seq_len):
+        """LN + q/k/v/out projections + scores over seq_len-token groups,
+        reading/writing the (N, C) activations once each."""
+        flops = 4 * 2 * n_tokens * C * C + 2 * 2 * n_tokens * seq_len * C
+        return lower_bound_ms(flops, 2 * n_tokens * C * EL)
 
-    # window attention: scores over win^2-token windows
-    wa_flops = proj_flops + 2 * 2 * N * (win * win) * C
-    wa = lower_bound_ms(wa_flops, io_bytes)
-    # temporal attention: scores over T-token sequences
-    ta_flops = proj_flops + 2 * 2 * N * T * C
-    ta = lower_bound_ms(ta_flops, io_bytes)
-    # conv FFN: fc1 GEMM, dw3x3 (bandwidth: hidden round-trips at the
-    # GEMM->conv boundary), fc2 GEMM
-    fc = lower_bound_ms(2 * N * C * Hd, (N * C + N * Hd) * EL)
-    dw = lower_bound_ms(2 * 9 * N * Hd, 2 * N * Hd * EL)
-    conv_ffn = 2 * fc + dw
-    # linear FFN: two GEMMs, hidden stays fused with GELU
-    lin_ffn = 2 * fc
+    def conv_ffn_ms(n_tokens):
+        fc = lower_bound_ms(2 * n_tokens * C * Hd,
+                            (n_tokens * C + n_tokens * Hd) * EL)
+        dw = lower_bound_ms(2 * 9 * n_tokens * Hd, 2 * n_tokens * Hd * EL)
+        return 2 * fc + dw
 
-    block_fwd = wa + ta + conv_ffn + lin_ffn
-    phase("transformer_fwd", L * block_fwd)
-    phase("transformer_bwd", 2 * L * block_fwd)
+    def lin_ffn_ms(n_tokens):
+        return 2 * lower_bound_ms(2 * n_tokens * C * Hd,
+                                  (n_tokens * C + n_tokens * Hd) * EL)
+
+    if args.preset == "far_mnist":
+        T = Tp + Tf - 1                     # teacher forcing
+        N = B * T * H * W
+        block_fwd = (attn_ms(N, win * win) + attn_ms(N, T)
+                     + conv_ffn_ms(N) + lin_ffn_ms(N))
+        phase("transformer_fwd", t.num_encoder_layers * block_fwd)
+        phase("transformer_bwd", 2 * t.num_encoder_layers * block_fwd)
+        frames_enc, frames_dec = B * T, B * T
+    else:
+        # NAR: encoder over past tokens; decoder blocks are 6 sublayers
+        # (window self-attn, conv FFN, temporal self-attn over Tf, linear
+        # FFN, enc-dec attention over Tp memory, second conv FFN); plus
+        # two NCE projections (train_NAR.py:81-82)
+        Ne, Nd = B * Tp * H * W, B * Tf * H * W
+        enc_fwd = (attn_ms(Ne, win * win) + attn_ms(Ne, Tp)
+                   + conv_ffn_ms(Ne) + lin_ffn_ms(Ne))
+        dec_fwd = (attn_ms(Nd, win * win) + conv_ffn_ms(Nd)
+                   + attn_ms(Nd, Tf) + lin_ffn_ms(Nd)
+                   + attn_ms(Nd, Tp) + conv_ffn_ms(Nd))
+        nce_fwd = 2 * lower_bound_ms(2 * Nd * C * C, 2 * Nd * C * EL)
+        fwd = (t.num_encoder_layers * enc_fwd
+               + t.num_decoder_layers * dec_fwd + nce_fwd)
+        phase("transformer_fwd", fwd)
+        phase("transformer_bwd", 2 * fwd)
+        frames_enc = B * (Tp + Tf)          # GT future encoded for NCE
+        frames_dec = B * Tf
 
     # ---- frozen conv encode / decode (phase_roofline's conv model) -----
     def conv_flops(h, w, cin, cout, k):
@@ -106,30 +137,25 @@ def main():
              + conv_flops(32, 32, 4 * ngf // 2, ngf, 3) * 2
              + conv_flops(64, 64, ngf, 1, 7))
     # activation traffic: dominated by the full-res stem/head planes
-    enc_bytes = B * T * (64 * 64 * (1 + ngf) + 32 * 32 * 2 * ngf
-                         + 16 * 16 * 4 * ngf + 8 * 8 * fd * 2) * EL
-    dec_bytes = B * T * (8 * 8 * fd + 16 * 16 * 2 * ngf
-                         + 32 * 32 * ngf + 64 * 64 * (ngf + 1)) * EL
+    enc_bytes = frames_enc * (64 * 64 * (1 + ngf) + 32 * 32 * 2 * ngf
+                              + 16 * 16 * 4 * ngf + 8 * 8 * fd * 2) * EL
+    dec_bytes = frames_dec * (8 * 8 * fd + 16 * 16 * 2 * ngf
+                              + 32 * 32 * ngf + 64 * 64 * (ngf + 1)) * EL
     phase("conv_encode_fwd",
-          lower_bound_ms(B * T * enc_f, enc_bytes, CEIL_CONV_TFLOPS))
+          lower_bound_ms(frames_enc * enc_f, enc_bytes, CEIL_CONV_TFLOPS))
     phase("decode_fwd+grad_through",
-          lower_bound_ms(3 * B * T * dec_f, 3 * dec_bytes, CEIL_CONV_TFLOPS))
+          lower_bound_ms(3 * frames_dec * dec_f, 3 * dec_bytes,
+                         CEIL_CONV_TFLOPS))
 
     # ---- losses + optimizer --------------------------------------------
-    frame_bytes = 2 * B * T * 64 * 64 * EL
-    phase("losses_mse_gdl", lower_bound_ms(0, 2 * frame_bytes))
-
-    # transformer trainable params: exact count from initializing the FAR
-    # parity geometry (build_transformer(get_preset("far_mnist")) — matches
-    # the AdamW traffic phase_roofline measures). Per-block arithmetic
-    # undercounts (second attention sublayer, biases, norms, queries).
-    n_params = 88_008_096
-    phase("adamw_update", lower_bound_ms(0, 7 * n_params * 4))
+    frame_bytes = 2 * frames_dec * 64 * 64 * EL
+    phase("losses", lower_bound_ms(0, 2 * frame_bytes))
+    phase("adamw_update", lower_bound_ms(0, 7 * N_PARAMS[args.preset] * 4))
 
     for r in rows:
         print(json.dumps(r))
-    out = {"composite_step_lower_bound_ms": round(total, 2),
-           "tokens": N, "layers": L,
+    out = {"preset": args.preset,
+           "composite_step_lower_bound_ms": round(total, 2),
            "assumptions": "ideal fusion; norms/residuals free; bwd=2x fwd"}
     if args.measured_step_ms:
         out["measured_step_ms"] = args.measured_step_ms

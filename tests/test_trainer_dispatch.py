@@ -1,7 +1,8 @@
 """Multi-step dispatch (steps_per_dispatch): K train steps folded into one
 jitted lax.scan must match K sequential single-step dispatches — same final
 parameters, same per-step losses. The fold exists to amortize the remote
-relay's ~11 ms per-jit-call host overhead (scripts/dispatch_overhead_probe);
+relay's residual per-jit-call host overhead — measured ~2 ms/step in a hot
+loop (scripts/dispatch_overhead_probe);
 it must be a pure batching of the step function, not a semantic change.
 """
 

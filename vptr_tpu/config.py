@@ -99,7 +99,10 @@ class TransformerConfig:
     fused_residual: bool = False        # fold the window sublayer's residual
                                         # add + DropPath into the fused
                                         # kernel (encoder blocks; requires
-                                        # fused_full)
+                                        # fused_full). Measured ~3 ms/step
+                                        # SLOWER than fused_full alone on
+                                        # v5e (BENCH_NOTES round-3 sweep) —
+                                        # ships as a tested ablation
     fused_dw: bool = False              # Pallas fused norm1+GELU+dw3x3+
                                         # norm2+GELU+drop between the conv
                                         # FFN's 1x1 GEMMs (the two

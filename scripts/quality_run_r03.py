@@ -75,6 +75,9 @@ def main():
     p.add_argument("--attention", default="full",
                    choices=["core", "full"],
                    help="fused attention flavor for the stage-2 run")
+    p.add_argument("--ckpt-per-epochs", type=int, default=3,
+                   help="stage-2 checkpoint cadence; raise for long runs "
+                   "(a full-state orbax save over the relay costs ~5 min)")
     p.add_argument("--chunk-epochs", type=int, default=None,
                    help="train at most this many stage-2 epochs, then exit "
                    "with code 3 if more remain. The relay client's host RSS "
@@ -103,7 +106,7 @@ def main():
         "dtype": "bfloat16",
         "ckpt_dir": f"{args.ckpt_dir}/{args.stage}",
         "ckpt_keep": 1,
-        "ckpt_per_epochs": 3,
+        "ckpt_per_epochs": args.ckpt_per_epochs,
         "val_per_epochs": 2,
         "ae_ckpt": ae_ckpt,
         "transformer": {"fused_full": args.attention == "full"},

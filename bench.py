@@ -77,12 +77,12 @@ def main():
                      "fused_full": args.attention == "full",
                      "fused_conv_ffn": args.conv_ffn}}
     if args.quick:
-        overrides.update({
-            "ae": {"feat_dim": 24, "n_res_blocks": 1},
-            "transformer": {"d_model": 24, "n_heads": 4,
-                            "num_encoder_layers": 2,
-                            "num_decoder_layers": 2},
-        })
+        overrides["ae"] = {"feat_dim": 24, "n_res_blocks": 1}
+        # merge, don't replace: the dict at "transformer" already carries
+        # the --attention / --conv-ffn selections
+        overrides["transformer"].update({
+            "d_model": 24, "n_heads": 4,
+            "num_encoder_layers": 2, "num_decoder_layers": 2})
     cfg = get_preset(args.preset).override(overrides)
     trainer = Trainer(cfg, write_outputs=False)
     state = trainer.init_state()

@@ -107,6 +107,15 @@ void render_clips(const float* glyphs, int digit, int64_t seed,
                     if (px > lim) { px = 2 * lim - px;  vx = -vx; }
                 }
             }
+            // the noise knob is independent of the motion flavor (the
+            // digit loop above is digit-major, so noise is a post pass)
+            if (noise > 0.0f) {
+                for (int64_t p = 0; p < clip; ++p) {
+                    const float n =
+                        (float)((2.0 * uniform01(st) - 1.0) * noise);
+                    dst[p] = std::min(1.0f, std::max(0.0f, dst[p] + n));
+                }
+            }
             continue;
         }
 

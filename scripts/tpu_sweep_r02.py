@@ -28,12 +28,14 @@ def run_variant(name: str, overrides: dict, batch: int, steps: int,
     from vptr_tpu.config import get_preset
     from vptr_tpu.train.trainer import Trainer
 
-    if name.endswith("_bigtile"):
-        # measurement-only: double the fused-full kernel tiles (the 64 MB
-        # scoped-VMEM budget makes room the old 16 MB default did not)
-        from vptr_tpu.models import layers
+    from vptr_tpu.models import layers
 
-        layers.MultiHeadAttention.fused_full_blocks = (64, 32)
+    # measurement-only: double the fused-full kernel tiles (the 64 MB
+    # scoped-VMEM budget makes room the old 16 MB default did not). The
+    # module-level hook is the ONLY working override — assigning the class
+    # attribute is a no-op (flax dataclass defaults bind at class creation).
+    layers.FUSED_FULL_BLOCKS_OVERRIDE = (
+        (64, 32) if name.endswith("_bigtile") else None)
 
     cfg = get_preset("far_mnist").override(
         {"dtype": "bfloat16", "data": {"batch_size": batch}, **overrides})

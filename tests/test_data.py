@@ -220,3 +220,17 @@ def test_build_dataset_default_is_dynamic():
     ds = build_dataset(cfg, split="train")
     assert isinstance(ds, SyntheticMovingMNIST)
     assert ds.motion == "dynamic" and ds.noise > 0 and ds.num_digits == 3
+
+
+def test_linear_synthetic_noise_knob():
+    """synthetic_noise composes with motion="linear" too (the knobs are
+    independent); values stay in [0, 1] and determinism holds."""
+    noisy = SyntheticMovingMNIST(num_clips=2, num_past=5, num_future=5,
+                                 size=32, motion="linear", noise=0.05)
+    clean = SyntheticMovingMNIST(num_clips=2, num_past=5, num_future=5,
+                                 size=32, motion="linear", noise=0.0)
+    p, _ = noisy.get(0)
+    pc, _ = clean.get(0)
+    assert 0.0 <= p.min() and p.max() <= 1.0
+    assert (p > 0).mean() > 0.3 and (pc > 0).mean() < 0.3
+    np.testing.assert_array_equal(p, noisy.get(0)[0])

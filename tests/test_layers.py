@@ -158,3 +158,27 @@ def test_mlpdwbn_shapes(norm):
     else:
         out = mod.apply(variables, x)
     assert out.shape == x.shape
+
+
+def test_fused_full_blocks_override_hook():
+    """The sweep's bigtile variant relies on the module-level override —
+    a class-attribute assignment is a silent no-op on a flax dataclass
+    (defaults bind at class creation), which once invalidated a recorded
+    measurement. Pin the working mechanism."""
+    from vptr_tpu.models import layers
+
+    mha = layers.MultiHeadAttention(8, 2)
+    assert mha._ff_blocks() == (32, 16)
+    # the broken route: class attr changes nothing on instances
+    layers.MultiHeadAttention.fused_full_blocks = (64, 32)
+    try:
+        assert layers.MultiHeadAttention(8, 2).fused_full_blocks == (32, 16)
+    finally:
+        layers.MultiHeadAttention.fused_full_blocks = (32, 16)
+    # the working route
+    layers.FUSED_FULL_BLOCKS_OVERRIDE = (64, 32)
+    try:
+        assert mha._ff_blocks() == (64, 32)
+    finally:
+        layers.FUSED_FULL_BLOCKS_OVERRIDE = None
+    assert mha._ff_blocks() == (32, 16)

@@ -71,3 +71,19 @@ def test_render_clips_dynamic_mode():
     # noise touches background pixels
     clean = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "dynamic", 0.0)
     assert (a > 0).mean() > 0.3 and (clean > 0).mean() < 0.3
+
+
+def test_render_clips_linear_noise_and_digit_cap():
+    """The noise knob composes with linear motion too, and the native
+    dynamic renderer refuses (-> Python fallback) beyond its kMaxD=8
+    per-digit state capacity instead of silently clamping."""
+    ds = SyntheticMovingMNIST(num_clips=4, num_past=5, num_future=5, size=64)
+    idx = np.arange(4)
+    noisy = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "linear", 0.03)
+    clean = render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "linear", 0.0)
+    np.testing.assert_array_equal(
+        noisy, render_clips(ds.glyphs, 3, idx, 10, 64, 1, 3, "linear", 0.03))
+    assert noisy.min() >= 0.0 and noisy.max() <= 1.0
+    assert (noisy > 0).mean() > 0.3 and (clean > 0).mean() < 0.3
+    assert render_clips(ds.glyphs, 3, idx, 10, 64, 1, 9, "dynamic", 0.0) is None
+    assert render_clips(ds.glyphs, 3, idx, 10, 64, 1, 9, "linear", 0.0) is not None

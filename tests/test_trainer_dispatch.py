@@ -49,7 +49,7 @@ def test_multi_step_dispatch_matches_sequential():
     state2 = tr.init_state()
     state2, ms = tr.multi_train_step(
         state2, *tr.put_batch_stacked(past_k, future_k))
-    scan_metrics = _expand_metrics([jax.device_get(ms)])
+    scan_metrics = _expand_metrics([(True, jax.device_get(ms))])
     scan_params = jax.device_get(state2.transformer.params)
 
     assert len(scan_metrics) == k
@@ -82,7 +82,11 @@ def test_trainer_fit_with_dispatch_groups_and_tail():
 def test_expand_metrics_passthrough_and_stacked():
     scalars = {"a": np.float32(1.0)}
     stacked = {"a": np.arange(3, dtype=np.float32)}
-    out = _expand_metrics([scalars, stacked])
+    out = _expand_metrics([(False, scalars), (True, stacked)])
     assert len(out) == 4
     assert out[0]["a"] == 1.0
     assert [m["a"] for m in out[1:]] == [0.0, 1.0, 2.0]
+    # the tag is authoritative: a 1-D metric in single-step mode must NOT
+    # be exploded into bogus per-step dicts
+    vec = {"per_t": np.arange(5, dtype=np.float32)}
+    assert _expand_metrics([(False, vec)]) == [vec]

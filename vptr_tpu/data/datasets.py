@@ -238,6 +238,13 @@ class SyntheticMovingMNIST:
             self._render_dynamic(canvas, r, t_total, lim)
         else:
             self._render_linear(canvas, r, t_total, lim)
+            if self.noise > 0.0:
+                # the noise knob composes with any motion flavor; linear
+                # renders digit-major, so noise is a post pass (dynamic is
+                # time-major and draws it inside its state loop)
+                canvas += r.uniform(-self.noise, self.noise,
+                                    size=canvas.shape).astype(np.float32)
+                np.clip(canvas, 0.0, 1.0, out=canvas)
         if self.transform is not None:
             canvas = self.transform(canvas, rng)
         return canvas[:self.num_past], canvas[-self.num_future:]

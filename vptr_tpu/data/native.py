@@ -73,6 +73,11 @@ def render_clips(glyphs: np.ndarray, seed: int, indices: np.ndarray,
     lib = _load()
     if lib is None:
         return None
+    if motion == "dynamic" and num_digits > 8:
+        # the C++ dynamic renderer holds per-digit state in fixed kMaxD=8
+        # stack arrays (native/clipgen.cpp) and would silently clamp;
+        # route to the Python renderer so both paths stay identical
+        return None
     glyphs = np.ascontiguousarray(glyphs, np.float32)
     indices = np.ascontiguousarray(indices, np.int64)
     n = len(indices)

@@ -30,6 +30,11 @@ from vptr_tpu.ops.window import (
 
 Dtype = Any
 
+
+# sweep/measurement hook: when not None, overrides every MultiHeadAttention
+# instance's fused_full_blocks (see MultiHeadAttention._ff_blocks)
+FUSED_FULL_BLOCKS_OVERRIDE = None
+
 xavier_uniform = nn.initializers.xavier_uniform()
 trunc_normal_002 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -152,6 +157,15 @@ class MultiHeadAttention(nn.Module):
     remat_core: bool = False   # measured neutral on v5e at batch 10; saves
                                # HBM at larger batch (padded logit residuals)
 
+    def _ff_blocks(self) -> tuple:
+        # measurement hook: FUSED_FULL_BLOCKS_OVERRIDE (module global) wins
+        # over the field. Flax dataclass field defaults bind at class
+        # creation, so assigning MultiHeadAttention.fused_full_blocks after
+        # import is a silent no-op — sweeps must set the global instead.
+        return (FUSED_FULL_BLOCKS_OVERRIDE
+                if FUSED_FULL_BLOCKS_OVERRIDE is not None
+                else self.fused_full_blocks)
+
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, bias=None, mask=None, ln=None,
                  qk_pos=None, deterministic: bool = True,
@@ -222,18 +236,17 @@ class MultiHeadAttention(nn.Module):
                            if qk_pos is not None else None),
                           full_bias_of(bias, mask))
                 xf = q_in.reshape((-1, l, self.dim)).astype(self.dtype)
+                ffb = self._ff_blocks()
                 if residual:
                     out = fused_attention_ln_res(
                         xf, *common, branch_scale, dropout_seed(rate),
-                        self.num_heads, rate, self.fused_full_blocks[0],
-                        jax.default_backend() != "tpu",
-                        self.fused_full_blocks[1])
+                        self.num_heads, rate, ffb[0],
+                        jax.default_backend() != "tpu", ffb[1])
                 else:
                     out = fused_attention_ln(
                         xf, *common, dropout_seed(rate),
-                        self.num_heads, rate, self.fused_full_blocks[0],
-                        jax.default_backend() != "tpu",
-                        self.fused_full_blocks[1])
+                        self.num_heads, rate, ffb[0],
+                        jax.default_backend() != "tpu", ffb[1])
                 return out.reshape(lead + (l, self.dim))
             # non-folded paths: materialize the norm in XLA, continue below
             xn = layernorm_xla(q_in, ln[0], ln[1], self.dtype)
@@ -260,8 +273,8 @@ class MultiHeadAttention(nn.Module):
             out = fused_attention(
                 flat(q_in), flat(v_in), wq, bq, wk, bk, wv, bv, wo, bo,
                 full_bias_of(bias, mask), dropout_seed(rate),
-                self.num_heads, rate, self.fused_full_blocks[0],
-                jax.default_backend() != "tpu", self.fused_full_blocks[1])
+                self.num_heads, rate, self._ff_blocks()[0],
+                jax.default_backend() != "tpu", self._ff_blocks()[1])
             return with_residual(out.reshape(lead + (l, self.dim)))
 
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype,

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vptr_tpu.ops.attention_core import _hash_uniform
 from vptr_tpu.ops.fused_conv_ln import _gelu, _gelu_grad
+from vptr_tpu.ops.fused_window_attention import _ln_rows
 
 _VMEM_LIMIT = 64 * 1024 * 1024
 
@@ -54,15 +55,6 @@ def ffn_keep_mask(seed, rows: int, cols: int, rate: float):
     """jnp twin of the in-kernel hidden-dropout mask (test oracle)."""
     seed = jnp.asarray(seed).astype(jnp.uint32)
     return _keep_rows(seed, jnp.uint32(0), rows, cols, rate)
-
-
-def _ln_rows(x2, ls, lb, eps: float = 1e-5):
-    mean = jnp.mean(x2, axis=1, keepdims=True)
-    xc = x2 - mean
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + jnp.float32(eps))
-    xhat = xc * rstd
-    return xhat * ls + lb, xhat, rstd
 
 
 def _reference_ffn(x, w1, b1, w2, b2, ls, lb, keep=None, rate: float = 0.0):

@@ -574,6 +574,9 @@ def _fused_ln_forward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
         x = jnp.concatenate([x, jnp.zeros((pad, tokens, c), x.dtype)], axis=0)
     grid = (x.shape[0] // tb,)
     use_scale = scale is not None
+    # the unused-case dummy is a jit-time constant; its per-call DMA is
+    # ~48 KB (<1 us at HBM bandwidth) — not worth a second kernel
+    # signature without the operand
     scale_in = (_scale_rows(scale, x.shape[0], tokens) if use_scale
                 else jnp.ones((x.shape[0], tokens), jnp.float32))
 
@@ -753,6 +756,9 @@ def _fused_ln_backward(x, wq, bq, wk, bk, wv, bv, wo, bo, ls, lb, pos, bias,
         g = jnp.concatenate([g, jnp.zeros((pad, tokens, c), g.dtype)], axis=0)
     grid = (x.shape[0] // tb,)
     use_scale = scale is not None
+    # the unused-case dummy is a jit-time constant; its per-call DMA is
+    # ~48 KB (<1 us at HBM bandwidth) — not worth a second kernel
+    # signature without the operand
     scale_in = (_scale_rows(scale, x.shape[0], tokens) if use_scale
                 else jnp.ones((x.shape[0], tokens), jnp.float32))
     scale_spec = pl.BlockSpec((tb, tokens), lambda i: (i, 0),

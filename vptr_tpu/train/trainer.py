@@ -50,14 +50,16 @@ def _dtype_of(name: str):
             "float16": jnp.float16}[name]
 
 
-def _expand_metrics(fetched):
-    """Flatten multi-step dispatch metrics: dicts whose values are (K,)
-    stacked arrays become K per-step dicts; scalar dicts pass through."""
+def _expand_metrics(tagged):
+    """Flatten multi-step dispatch metrics. Takes (stacked, metrics) pairs
+    — the dispatcher that produced each dict knows whether its values are
+    (K,) stacked arrays, so the mode is explicit rather than inferred from
+    value shapes (a future 1-D per-step metric must not be misread as a
+    K-step stack)."""
     out = []
-    for m in fetched:
-        vals = next(iter(m.values()), None)
-        if vals is not None and np.ndim(vals) == 1:
-            kk = np.shape(vals)[0]
+    for stacked, m in tagged:
+        if stacked:
+            kk = np.shape(next(iter(m.values())))[0]
             out.extend({key: v[i] for key, v in m.items()}
                        for i in range(kk))
         else:
@@ -70,6 +72,12 @@ class Trainer:
                  write_outputs: bool = True):
         self.cfg = cfg
         self.dtype = _dtype_of(cfg.dtype)
+        if cfg.ckpt_per_epochs < 1:
+            # fail at config time, not at the end of the first epoch (the
+            # cadence is used as a modulus; 0 is NOT "never" — disable
+            # checkpoints with write_outputs=False instead)
+            raise ValueError(
+                f"ckpt_per_epochs must be >= 1, got {cfg.ckpt_per_epochs}")
         if cfg.debug_nans:
             # sanitizer mode: every op checked for NaNs (slow; debugging only)
             jax.config.update("jax_debug_nans", True)
@@ -321,11 +329,11 @@ class Trainer:
                     future_k = np.stack([f for _, f in group])
                     state, ms = self.multi_train_step(
                         state, *self.put_batch_stacked(past_k, future_k))
-                    return state, [ms]   # metrics stacked (K,) per key
+                    return state, [(True, ms)]  # metrics stacked (K,) per key
                 out = []
                 for p, f in group:
                     state, m = self.train_step(state, *self.put_batch(p, f))
-                    out.append(m)
+                    out.append((False, m))
                 return state, out
 
             for bi, (past, future) in enumerate(train_loader):

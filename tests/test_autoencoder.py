@@ -70,3 +70,37 @@ def test_group_norm_variant_has_no_state():
     x = jnp.asarray(RNG.normal(size=(1, 2, 16, 16, 1)).astype(np.float32))
     variables = enc.init(jax.random.PRNGKey(0), x, train=True)
     assert "batch_stats" not in variables
+
+
+def test_ae_config_knobs_are_wired():
+    """ngf / n_res_blocks / use_dropout must actually change the built
+    model (they were once accepted by the config but silently dropped
+    by build_autoencoder)."""
+    import jax
+    import jax.numpy as jnp
+    from vptr_tpu.config import AutoencoderConfig
+    from vptr_tpu.models.autoencoder import build_autoencoder
+
+    x = jnp.zeros((1, 2, 32, 32, 1), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def n_params(cfg):
+        enc, _ = build_autoencoder(cfg)
+        v = enc.init(rng, x, train=False)
+        return sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+
+    base = AutoencoderConfig(feat_dim=24)
+    assert n_params(AutoencoderConfig(feat_dim=24, ngf=32)) < n_params(base)
+    assert (n_params(AutoencoderConfig(feat_dim=24, n_res_blocks=2))
+            < n_params(base))
+
+    # dropout is live in train mode: needs the rng and perturbs the output
+    enc, _ = build_autoencoder(AutoencoderConfig(feat_dim=24,
+                                                 use_dropout=True))
+    v = enc.init({"params": rng, "dropout": rng}, x, train=False)
+    xr = jax.random.uniform(rng, x.shape)
+    a = enc.apply(v, xr, train=True, mutable=["batch_stats"],
+                  rngs={"dropout": jax.random.PRNGKey(1)})[0]
+    b = enc.apply(v, xr, train=True, mutable=["batch_stats"],
+                  rngs={"dropout": jax.random.PRNGKey(2)})[0]
+    assert float(jnp.abs(a - b).max()) > 0.0

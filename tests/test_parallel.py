@@ -199,9 +199,14 @@ def test_ae_dp_matches_single_device():
     s_1 = tr_1.init_state()
     s_1, m_1 = tr_1.train_step(s_1, *tr_1.put_batch(past, future))
 
+    # 1e-4: the generator-side GAN term normalizes with BATCH stats
+    # (reference train()-mode parity), so the G forward now contains
+    # cross-device mean/var reductions whose accumulation order differs
+    # between the sharded and single-device schedules (~4e-5 relative
+    # through the disc stack)
     for k in m_1:
         np.testing.assert_allclose(float(m_dp[k]), float(m_1[k]),
-                                   atol=1e-5, rtol=1e-5, err_msg=k)
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
     for a, b in zip(jax.tree_util.tree_leaves(s_dp.enc.stats),
                     jax.tree_util.tree_leaves(s_1.enc.stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

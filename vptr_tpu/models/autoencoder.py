@@ -235,7 +235,10 @@ class VPTREnc(nn.Module):
 
     img_channels: int = 1
     feat_dim: int = 528
+    ngf: int = 64
     n_downsampling: int = 3
+    n_res_blocks: int = 9
+    use_dropout: bool = False
     padding_type: str = "reflect"
     norm: str = "batch"
     init_type: str = "normal"
@@ -245,11 +248,14 @@ class VPTREnc(nn.Module):
     def __call__(self, x, *, train: bool = False):
         n, t = x.shape[:2]
         y = x.reshape((n * t,) + x.shape[2:])
-        y = ResnetEncoder(feat_dim=self.feat_dim,
+        y = ResnetEncoder(ngf=self.ngf, feat_dim=self.feat_dim,
                           n_downsampling=self.n_downsampling,
+                          n_res_blocks=self.n_res_blocks,
+                          use_dropout=self.use_dropout,
                           padding_type=self.padding_type, norm=self.norm,
                           init_type=self.init_type, dtype=self.dtype,
-                          name="encoder")(y, train=train)
+                          name="encoder")(y, train=train,
+                                          deterministic=not train)
         return y.reshape((n, t) + y.shape[1:])
 
 
@@ -258,6 +264,7 @@ class VPTRDec(nn.Module):
     (reference: VPTR_modules.py:31-47)."""
 
     img_channels: int = 1
+    ngf: int = 64
     n_downsampling: int = 3
     out_layer: str = "tanh"
     padding_type: str = "reflect"
@@ -269,7 +276,7 @@ class VPTRDec(nn.Module):
     def __call__(self, feat, *, train: bool = False):
         n, t = feat.shape[:2]
         y = feat.reshape((n * t,) + feat.shape[2:])
-        y = ResnetDecoder(img_channels=self.img_channels,
+        y = ResnetDecoder(img_channels=self.img_channels, ngf=self.ngf,
                           n_downsampling=self.n_downsampling,
                           padding_type=self.padding_type, norm=self.norm,
                           out_layer=self.out_layer,
@@ -281,10 +288,12 @@ class VPTRDec(nn.Module):
 def build_autoencoder(cfg, dtype=jnp.float32):
     """Construct (VPTREnc, VPTRDec) from an AutoencoderConfig."""
     enc = VPTREnc(img_channels=cfg.img_channels, feat_dim=cfg.feat_dim,
-                  n_downsampling=cfg.n_downsampling,
+                  ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
+                  n_res_blocks=cfg.n_res_blocks,
+                  use_dropout=cfg.use_dropout,
                   padding_type=cfg.padding_type, norm=cfg.norm,
                   init_type=cfg.init_type, dtype=dtype)
-    dec = VPTRDec(img_channels=cfg.img_channels,
+    dec = VPTRDec(img_channels=cfg.img_channels, ngf=cfg.ngf,
                   n_downsampling=cfg.n_downsampling,
                   out_layer=cfg.out_layer, padding_type=cfg.padding_type,
                   norm=cfg.norm, init_type=cfg.init_type, dtype=dtype)

@@ -53,6 +53,13 @@ def _disc_update(disc, d_opt, disc_state: ModuleState, d_opt_state,
         mutable = ["batch_stats"] if disc_state.stats else []
         pred_fake, aux1 = disc.apply(variables, fake, train=True,
                                      mutable=mutable)
+        if mutable:
+            # running stats update SEQUENTIALLY, exactly like the
+            # reference's two successive netD forwards in train mode
+            # (train_AutoEncoder.py:22-26): the real pass sees the fake
+            # pass's updated stats
+            variables = {"params": d_params,
+                         "batch_stats": aux1["batch_stats"]}
         pred_real, aux2 = disc.apply(variables, real, train=True,
                                      mutable=mutable)
         loss_fake = gan_loss(pred_fake, False, gan_mode)
@@ -71,11 +78,22 @@ def _disc_update(disc, d_opt, disc_state: ModuleState, d_opt_state,
     return new_disc, new_opt, metrics
 
 
-def _gan_term(disc, disc_state: ModuleState, frames, gan_mode: str):
-    """Generator-side GAN term, D frozen (eval stats, no stat updates)."""
+def _gan_term(disc, disc_state: ModuleState, frames, gan_mode: str,
+              train: bool = False):
+    """Generator-side GAN term, D params frozen. ``train=True`` matches the
+    reference's module mode during training — the discriminator stays in
+    train() for cal_lossG/cal_lossT (train_AutoEncoder.py:52-73,
+    train_FAR.py:68-80), so BatchNorm normalizes with BATCH stats and the
+    running stats update on this third per-step forward too. Returns
+    (loss, new_stats); eval passes train=False (reference: netD.eval())."""
     variables = disc_state.variables()
-    logits = disc.apply(variables, _flat_frames(frames), train=False)
-    return gan_loss(logits, True, gan_mode)
+    flat = _flat_frames(frames)
+    if train and disc_state.stats:
+        logits, aux = disc.apply(variables, flat, train=True,
+                                 mutable=["batch_stats"])
+        return gan_loss(logits, True, gan_mode), aux["batch_stats"]
+    logits = disc.apply(variables, flat, train=train)
+    return gan_loss(logits, True, gan_mode), disc_state.stats
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +123,8 @@ def make_ae_train_step(enc, dec, disc, g_opt, d_opt, loss_cfg
                 dec_vars["batch_stats"] = state.dec.stats
                 dec_mut = ["batch_stats"]
             feats, enc_new = enc.apply(enc_vars, x, train=True,
-                                       mutable=enc_mut)
+                                       mutable=enc_mut,
+                                       rngs={"dropout": drop})
             rec, dec_new = dec.apply(dec_vars, feats, train=True,
                                      mutable=dec_mut)
             return rec, (enc_new.get("batch_stats", {}),
@@ -125,15 +144,19 @@ def make_ae_train_step(enc, dec, disc, g_opt, d_opt, loss_cfg
 
         # --- generator loss against the UPDATED discriminator ---
         def g_loss_fn(rec_frames):
+            l_gan, d_stats = 0.0, None
             l_mse = mse_loss(x, rec_frames)
             l_gdl = gdl_loss(x, rec_frames, alpha=loss_cfg.gdl_alpha)
-            l_gan = (_gan_term(disc, new_disc, rec_frames, gan_mode)
-                     if use_gan else 0.0)
+            if use_gan:
+                l_gan, d_stats = _gan_term(disc, new_disc, rec_frames,
+                                           gan_mode, train=True)
             total = l_mse + l_gdl + (lam_gan * l_gan if use_gan else 0.0)
-            return total, (l_mse, l_gdl, l_gan)
+            return total, (l_mse, l_gdl, l_gan, d_stats)
 
-        (g_total, (l_mse, l_gdl, l_gan)), out_grad = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(rec)
+        (g_total, (l_mse, l_gdl, l_gan, d_stats)), out_grad = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(rec)
+        if use_gan and d_stats:
+            new_disc = new_disc.replace(stats=d_stats)
         (enc_grads, dec_grads), = pullback(out_grad)
 
         updates, new_g_opt = g_opt.update(
@@ -167,7 +190,7 @@ def make_ae_eval_step(enc, dec, disc, loss_cfg):
         metrics = {"AE_MSE": l_mse, "AE_GDL": l_gdl,
                    "AE_total": l_mse + l_gdl}
         if use_gan:
-            l_gan = _gan_term(disc, state.disc, rec, loss_cfg.gan_mode)
+            l_gan, _ = _gan_term(disc, state.disc, rec, loss_cfg.gan_mode)
             metrics["AEgan"] = l_gan
             metrics["AE_total"] = metrics["AE_total"] + lam_gan * l_gan
         return metrics, rec
@@ -230,16 +253,20 @@ def make_far_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
                 pred_frames, future, lam_gan, gan_mode)
 
         def t_loss_fn(pred):
+            l_gan, d_stats = 0.0, None
             l_mse = mse_loss(pred, target, weights=weights)
             l_gdl = gdl_loss(target, pred, alpha=loss_cfg.gdl_alpha,
                              weights=weights)
-            l_gan = (_gan_term(disc, new_disc, pred, gan_mode)
-                     if use_gan else 0.0)
+            if use_gan:
+                l_gan, d_stats = _gan_term(disc, new_disc, pred, gan_mode,
+                                           train=True)
             total = l_gdl + l_mse + (lam_gan * l_gan if use_gan else 0.0)
-            return total, (l_mse, l_gdl, l_gan)
+            return total, (l_mse, l_gdl, l_gan, d_stats)
 
-        (total, (l_mse, l_gdl, l_gan)), out_grad = jax.value_and_grad(
-            t_loss_fn, has_aux=True)(pred_frames)
+        (total, (l_mse, l_gdl, l_gan, d_stats)), out_grad = \
+            jax.value_and_grad(t_loss_fn, has_aux=True)(pred_frames)
+        if use_gan and d_stats:
+            new_disc = new_disc.replace(stats=d_stats)
         t_grads, = pullback(out_grad)
 
         updates, new_t_opt = t_opt.update(t_grads, state.t_opt,
@@ -344,17 +371,22 @@ def make_nar_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
                 l_nce = bi_patch_nce(l2_normalize_channels(p_gt),
                                      l2_normalize_channels(p_pred),
                                      loss_cfg.nce_temperature)
-            l_gan = (_gan_term(disc, new_disc, pred, gan_mode)
-                     if use_gan else 0.0)
+            l_gan, d_stats = 0.0, None
+            if use_gan:
+                l_gan, d_stats = _gan_term(disc, new_disc, pred, gan_mode,
+                                           train=True)
             total = l_gdl + l_mse
             if use_nce:
                 total = total + lam_nce * l_nce
             if use_gan:
                 total = total + lam_gan * l_gan
-            return total, (l_mse, l_gdl, l_nce, l_gan)
+            return total, (l_mse, l_gdl, l_nce, l_gan, d_stats)
 
-        (total, (l_mse, l_gdl, l_nce, l_gan)), out_grad = jax.value_and_grad(
-            t_loss_fn, has_aux=True)((pred_frames, proj_pred, proj_gt))
+        (total, (l_mse, l_gdl, l_nce, l_gan, d_stats)), out_grad = \
+            jax.value_and_grad(t_loss_fn, has_aux=True)(
+                (pred_frames, proj_pred, proj_gt))
+        if use_gan and d_stats:
+            new_disc = new_disc.replace(stats=d_stats)
         t_grads, = pullback(out_grad)
 
         updates, new_t_opt = t_opt.update(t_grads, state.t_opt,

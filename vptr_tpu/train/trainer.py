@@ -110,6 +110,7 @@ class Trainer:
             self.writer = None
         self.write_outputs = write_outputs and is_host0
         self.history: Dict[str, Any] = {}
+        self._warned_ragged: set = set()
 
     # ------------------------------------------------------------------
     def _build_models(self):
@@ -265,15 +266,19 @@ class Trainer:
         # ragged batches (e.g. the last test batch, drop_last=False) cannot
         # shard evenly over the data axis — replicate those instead
         n_data = self.mesh.shape[DATA_AXIS]
-        sharding = (self.batch_sharding if past.shape[0] % n_data == 0
-                    else self.replicated)
-        # cast to the compute dtype on the HOST (ml_dtypes-backed numpy
-        # cast — identical round-to-nearest values to a device-side cast):
-        # halves the per-step host->device bytes, which on the tunneled
-        # chip ride a CPU-bound relay serialization path
-        past = jax.device_put(past.astype(self.dtype), sharding)
-        future = jax.device_put(future.astype(self.dtype), sharding)
-        return (past, future)
+        ragged = past.shape[0] % n_data != 0
+        if ragged and past.shape[0] not in self._warned_ragged:
+            # meant for occasional eval tails; if EVERY batch hits this
+            # (batch_size % data-axis != 0) the run silently forfeits data
+            # parallelism — warn once per shape so that is visible
+            self._warned_ragged.add(past.shape[0])
+            self.logger.warning(
+                "batch of %d does not divide the data axis (%d devices); "
+                "replicating — all devices compute the full batch. Pick a "
+                "batch_size divisible by the data axis for real DP.",
+                past.shape[0], n_data)
+        sharding = self.replicated if ragged else self.batch_sharding
+        return (self._stage(past, sharding), self._stage(future, sharding))
 
     def put_batch_stacked(self, past_k: np.ndarray, future_k: np.ndarray):
         """Stage (K, B, ...) stacked batches for a multi-step dispatch —
@@ -281,9 +286,26 @@ class Trainer:
         n_data = self.mesh.shape[DATA_AXIS]
         sharding = (NamedSharding(self.mesh, P(None, DATA_AXIS))
                     if past_k.shape[1] % n_data == 0 else self.replicated)
-        past_k = jax.device_put(past_k.astype(self.dtype), sharding)
-        future_k = jax.device_put(future_k.astype(self.dtype), sharding)
-        return (past_k, future_k)
+        return (self._stage(past_k, sharding), self._stage(future_k, sharding))
+
+    def _stage(self, arr: np.ndarray, sharding):
+        # cast to the compute dtype on the HOST (ml_dtypes-backed numpy
+        # cast — identical round-to-nearest values to a device-side cast):
+        # halves the per-step host->device bytes, which on the tunneled
+        # chip ride a CPU-bound relay serialization path
+        arr = arr.astype(self.dtype)
+        if jax.process_count() > 1:
+            # each host's loader holds a DIFFERENT shard of the global batch
+            # (build_loader: per-host batch = batch_size // num_hosts), so
+            # device_put's same-value-on-all-processes contract does not
+            # hold — assemble the global array from process-local shards
+            if sharding is self.replicated:
+                raise ValueError(
+                    "ragged batch under multi-host: per-host batches differ "
+                    "so replication is ill-defined; use batch sizes "
+                    "divisible by the data axis (drop_last=True)")
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     # ------------------------------------------------------------------
     def train(self, state=None, epochs: Optional[int] = None):
@@ -390,17 +412,29 @@ class Trainer:
             avg = meters.averages()
             avg["steps_per_sec"] = n_steps / max(dt, 1e-9)
             if cfg.stage in ("far", "nar"):
-                # rough model FLOPs utilization for the transformer stack
-                from vptr_tpu.utils.misc import transformer_step_flops
+                # rough model FLOPs utilization for the transformer stack —
+                # the NAR estimator counts decoder layers + cross-attention
+                # too, matching bench.py's accounting (bench.py:145)
+                from vptr_tpu.utils.misc import (
+                    nar_step_flops,
+                    transformer_step_flops,
+                )
 
                 t = cfg.transformer
-                seq_t = (cfg.data.num_past_frames +
-                         cfg.data.num_future_frames - 1
-                         if cfg.stage == "far" else cfg.data.num_past_frames)
-                flops = transformer_step_flops(
-                    cfg.data.batch_size, seq_t, t.enc_h, t.enc_w, t.d_model,
-                    t.n_heads, t.num_encoder_layers, t.window_size,
-                    t.spatial_ffn_hidden_ratio)
+                d = cfg.data
+                if cfg.stage == "far":
+                    flops = transformer_step_flops(
+                        d.batch_size,
+                        d.num_past_frames + d.num_future_frames - 1,
+                        t.enc_h, t.enc_w, t.d_model, t.n_heads,
+                        t.num_encoder_layers, t.window_size,
+                        t.spatial_ffn_hidden_ratio)
+                else:
+                    flops = nar_step_flops(
+                        d.batch_size, d.num_past_frames, d.num_future_frames,
+                        t.enc_h, t.enc_w, t.d_model, t.n_heads,
+                        t.num_encoder_layers, t.num_decoder_layers,
+                        t.window_size, t.spatial_ffn_hidden_ratio)
                 avg["transformer_tflops_per_sec"] = (
                     flops * avg["steps_per_sec"] / 1e12)
             if self.writer is not None:

@@ -3,6 +3,12 @@ flag set (XLA_FLAGS is parsed at backend init, so each variant needs a
 fresh process; the relay's server-side compile cache keys include the
 DebugOptions, so a changed flag set pays one fresh compile).
 
+MEASURED VERDICT (round 3): this route is a dead end on the axon client —
+its flag parser F-aborts on TPU-specific DebugOptions ("Unknown flag in
+XLA_FLAGS"). Per-jit `compiler_options` DOES reach the relay
+(scripts/compiler_opts_probe.py): scoped-vmem 64 MB global is ~7% SLOWER,
+latency-hiding scheduler exactly neutral on one chip. See BENCH_NOTES.md.
+
 Usage:  python scripts/xla_flag_sweep_r03.py [--steps 24]
 """
 from __future__ import annotations

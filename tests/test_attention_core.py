@@ -110,6 +110,98 @@ def test_core_broadcast_bias_grad():
 
 
 # ---------------------------------------------------------------------------
+# Rectangular (Lq != Lk) cross-attention — NAR enc-dec at Tp != Tf
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tq,tk,use_bias", [
+    (10, 2, False),    # nar_bair enc-dec: Tf=10 queries over Tp=2 memory
+    (10, 2, True),
+    (160, 32, False),  # TSLMA windows at BAIR geometry: (Tf*16, Tp*16)
+    (19, 5, True),
+])
+def test_core_rectangular_matches_reference(tq, tk, use_bias):
+    b, h, d = 8, 4, 16
+    q = jnp.asarray(RNG.normal(size=(b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    bias = (jnp.asarray(RNG.normal(size=(h, tq, tk)).astype(np.float32))
+            if use_bias else None)
+    ref = _reference_core(q, k, v, bias)
+    got = attention_core(q, k, v, bias, 0, 0.0, 8, True)  # interpret
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_core_rectangular_backward_matches_reference(use_bias):
+    b, h, tq, tk, d = 6, 3, 10, 2, 8
+    q = jnp.asarray(RNG.normal(size=(b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    bias = (jnp.asarray(RNG.normal(size=(h, tq, tk)).astype(np.float32))
+            if use_bias else None)
+
+    def loss_fused(*args):
+        return jnp.sum(attention_core(*args, 0, 0.0, 4, True) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_reference_core(*args) ** 2)
+
+    n_args = 4 if use_bias else 3
+    args = (q, k, v) + ((bias,) if use_bias else (None,))
+    gf = jax.grad(loss_fused, argnums=tuple(range(n_args)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(n_args)))(*args)
+    for name, a, b_ in zip("qkvb", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_core_rectangular_dropout_matches_masked_reference():
+    """Rectangular kernel dropout (fwd + bwd) vs the mask-oracle reference."""
+    from vptr_tpu.ops.attention_core import dropout_keep_mask
+
+    b, h, tq, tk, d, rate, seed = 8, 2, 10, 2, 8, 0.3, 99
+    q = jnp.asarray(RNG.normal(size=(b, h, tq, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, h, tk, d)).astype(np.float32))
+    keep = dropout_keep_mask(seed, b, h, tq, rate, tk=tk)
+
+    ref = _reference_core(q, k, v, None, keep=keep, rate=rate)
+    got = attention_core(q, k, v, None, seed, rate, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(attention_core(q, k, v, None, seed, rate, 8, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_core(q, k, v, None, keep=keep,
+                                       rate=rate) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_mha_fused_cross_attention_matches_unfused():
+    """MultiHeadAttention's fused gate now admits Lq != Lk cross-attention;
+    the result must match the XLA path with the same params."""
+    dim, heads, lq, lk, B = 24, 4, 10, 2, 6
+    q = jnp.asarray(RNG.normal(size=(B, lq, dim)).astype(np.float32))
+    kv = jnp.asarray(RNG.normal(size=(B, lk, dim)).astype(np.float32))
+
+    plain = MultiHeadAttention(dim, heads, fused=False)
+    fused = MultiHeadAttention(dim, heads, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), q, kv, kv)
+    a = plain.apply(params, q, kv, kv)
+    b = fused.apply(params, q, kv, kv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # In-kernel attention-weight dropout (counter-based hash PRNG)
 # ---------------------------------------------------------------------------
 

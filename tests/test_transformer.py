@@ -276,3 +276,48 @@ def test_nar_tslma_fused_matches_unfused():
     out_b = model_b.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("tslma", [False, True])
+def test_nar_rectangular_fused_matches_unfused(tslma):
+    """At the published BAIR geometry (Tp=2 != Tf=10) the enc-dec attention
+    is rectangular (Tf queries over Tp memory; TSLMA windows Tf*16 over
+    Tp*16). The rectangular fused core kernel must reproduce the XLA path —
+    outputs AND parameter gradients (reference enc-dec attention:
+    VidHRFormer_modules.py:194-206)."""
+    base = dict(num_past_frames=2, num_future_frames=10,
+                num_encoder_layers=1, num_decoder_layers=1, tslma=tslma,
+                rpe=True, **TINY)
+    model_a = VPTRFormerNAR(fused_attention=False, **base)
+    model_b = VPTRFormerNAR(fused_attention=True, **base)
+    x = _feats(2, 2)
+    variables = model_a.init(jax.random.PRNGKey(0), x, train=True)
+
+    def run(model, v):
+        out = model.apply(v, x, mutable=["batch_stats"]
+                          if "batch_stats" in v else [])
+        return out[0] if isinstance(out, tuple) else out
+
+    out_a = run(model_a, variables)
+    out_b = run(model_b, variables)
+    assert out_a.shape == (2, 10, 8, 8, 24)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(model):
+        return lambda p: jnp.sum(run(model, p) ** 2)
+
+    ga = jax.grad(loss(model_a))({"params": variables["params"],
+                                  **{k: v for k, v in variables.items()
+                                     if k != "params"}})
+    gb = jax.grad(loss(model_b))({"params": variables["params"],
+                                  **{k: v for k, v in variables.items()
+                                     if k != "params"}})
+
+    def close(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() <= 5e-4 * max(scale, 1.0), \
+            (jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+
+    jax.tree_util.tree_map_with_path(close, ga, gb)

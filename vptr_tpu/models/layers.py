@@ -291,15 +291,19 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
-        use_fused = self.fused and q.shape == k.shape == v.shape
+        # rectangular (Lq != Lk) cross-attention is kernel-eligible too:
+        # only the leading batch/head dims and the head depth must agree
+        use_fused = (self.fused and k.shape == v.shape and
+                     q.shape[:-2] == k.shape[:-2] and
+                     q.shape[-1] == k.shape[-1])
         if use_fused:
             from vptr_tpu.ops.attention_core import attention_core
 
             rate = 0.0 if deterministic else self.dropout
             lead = q.shape[:-3]
-            h, lq = q.shape[-3], q.shape[-2]
-            flat = lambda z: z.reshape((-1, h, lq, hd))
-            out = attention_core(flat(q), flat(k), flat(v),
+            h, lq, lk = q.shape[-3], q.shape[-2], k.shape[-2]
+            flat = lambda z, l: z.reshape((-1, h, l, hd))
+            out = attention_core(flat(q, lq), flat(k, lk), flat(v, lk),
                                  full_bias_of(bias, mask),
                                  dropout_seed(rate), rate, self.fused_block,
                                  jax.default_backend() != "tpu")

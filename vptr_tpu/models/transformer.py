@@ -243,7 +243,8 @@ class DecoderBlockNAR(nn.Module):
         else:
             # full attention over time, per spatial location; query carries
             # query_pos + future temporal pos (VidHRFormer_modules.py:200-206)
-            # (fused core kernel applies when Tp == Tf — q/k shapes match)
+            # (the fused core kernel is rectangular — it applies at Tp != Tf
+            # too, e.g. the published BAIR 2 -> 10 geometry)
             y = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                   fused=self.fused_attention,
                                   sp=self.sequence_parallel,

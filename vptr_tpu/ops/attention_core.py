@@ -57,40 +57,44 @@ def _hash_uniform(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
         * jnp.float32(1.0 / (1 << 24))
 
 
-def _keep_mask(seed, batch_start, head, tb: int, t: int, num_heads: int,
-               rate: float) -> jnp.ndarray:
-    """(TB, T, T) boolean keep mask for one (batch-tile, head) grid cell.
+def _keep_mask(seed, batch_start, head, tb: int, tq: int, tk: int,
+               num_heads: int, rate: float) -> jnp.ndarray:
+    """(TB, Tq, Tk) boolean keep mask for one (batch-tile, head) grid cell.
 
     The element index is globally unique over (batch, head, row, col), so
     forward and backward grids enumerate identical masks regardless of their
-    grid-axis order.
+    grid-axis order. For square attention (tq == tk) the index stream is
+    identical to the original square-only kernel's.
     """
-    b = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 0) + batch_start
-    r = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 1)
-    c = jax.lax.broadcasted_iota(jnp.uint32, (tb, t, t), 2)
-    idx = ((b * jnp.uint32(num_heads) + head) * jnp.uint32(t) + r) \
-        * jnp.uint32(t) + c
+    b = jax.lax.broadcasted_iota(jnp.uint32, (tb, tq, tk), 0) + batch_start
+    r = jax.lax.broadcasted_iota(jnp.uint32, (tb, tq, tk), 1)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (tb, tq, tk), 2)
+    idx = ((b * jnp.uint32(num_heads) + head) * jnp.uint32(tq) + r) \
+        * jnp.uint32(tk) + c
     return _hash_uniform(idx, seed) >= jnp.float32(rate)
 
 
-def dropout_keep_mask(seed, b: int, h: int, t: int, rate: float):
-    """Plain-jnp twin of the in-kernel mask for the full (B, H, T, T) tensor.
+def dropout_keep_mask(seed, b: int, h: int, t: int, rate: float,
+                      tk: int = None):
+    """Plain-jnp twin of the in-kernel mask for the full (B, H, T, Tk) tensor
+    (``tk`` defaults to ``t`` — square self-attention).
 
     Test oracle: an XLA reference using this mask must match the kernel's
     forward and backward bit-for-bit (up to dtype rounding).
     """
+    tk = t if tk is None else tk
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    bi = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, t), 0)
-    hi = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, t), 1)
-    r = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, t), 2)
-    c = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, t), 3)
-    idx = ((bi * jnp.uint32(h) + hi) * jnp.uint32(t) + r) * jnp.uint32(t) + c
+    bi = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, tk), 0)
+    hi = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, tk), 1)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, tk), 2)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (b, h, t, tk), 3)
+    idx = ((bi * jnp.uint32(h) + hi) * jnp.uint32(t) + r) * jnp.uint32(tk) + c
     return _hash_uniform(idx, seed) >= jnp.float32(rate)
 
 
 def _reference_core(q, k, v, bias, keep=None, rate: float = 0.0):
-    """q/k/v: (B, H, T, D); bias: (H, T, T) or None; keep: (B, H, T, T) bool.
-    Softmax in f32."""
+    """q: (B, H, Tq, D); k/v: (B, H, Tk, D); bias: (H, Tq, Tk) or None;
+    keep: (B, H, Tq, Tk) bool. Softmax in f32."""
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k,
                         preferred_element_type=jnp.float32)
@@ -108,22 +112,23 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
             use_bias: bool, rate: float, num_heads: int):
     i = pl.program_id(0)                 # batch tile
     j = pl.program_id(1)                 # head
-    q = q_ref[:, 0]                      # (TB, T, D)
-    k = k_ref[:, 0]
+    q = q_ref[:, 0]                      # (TB, Tq, D)
+    k = k_ref[:, 0]                      # (TB, Tk, D)
     v = v_ref[:, 0]
-    tb, t, d = q.shape
+    tb, tq, d = q.shape
+    tk = k.shape[1]
     scale = d ** -0.5
     logits = jax.lax.dot_general(
         q * scale, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (TB, T, T)
+        preferred_element_type=jnp.float32)          # (TB, Tq, Tk)
     if use_bias:
         logits = logits + bias_ref[:].astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
     if rate > 0.0:
         keep = _keep_mask(seed_ref[0].astype(jnp.uint32),
                           jnp.uint32(i * tb), jnp.uint32(j),
-                          tb, t, num_heads, rate)
+                          tb, tq, tk, num_heads, rate)
         weights = jnp.where(keep, weights / (1.0 - rate), 0.0)
     weights = weights.astype(q.dtype)
     out = jax.lax.dot_general(
@@ -135,36 +140,37 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 def _core_forward(q, k, v, bias, seed, rate: float, block_b: int,
                   interpret: bool):
-    b, h, t, d = q.shape
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
     use_bias = bias is not None
     if bias is None:
-        bias = jnp.zeros((h, t, t), jnp.float32)
+        bias = jnp.zeros((h, tq, tk), jnp.float32)
     elif bias.shape[0] == 1 and h > 1:
-        bias = jnp.broadcast_to(bias, (h, t, t))
+        bias = jnp.broadcast_to(bias, (h, tq, tk))
     bias = bias.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32).reshape(1)
 
     tb = min(block_b, b)
     pad = (-b) % tb
     if pad:
-        zeros = jnp.zeros((pad, h, t, d), q.dtype)
-        q = jnp.concatenate([q, zeros], axis=0)
-        k = jnp.concatenate([k, zeros], axis=0)
-        v = jnp.concatenate([v, zeros], axis=0)
+        q = jnp.concatenate([q, jnp.zeros((pad, h, tq, d), q.dtype)], axis=0)
+        kz = jnp.zeros((pad, h, tk, d), q.dtype)
+        k = jnp.concatenate([k, kz], axis=0)
+        v = jnp.concatenate([v, kz], axis=0)
     grid = (q.shape[0] // tb, h)
 
-    seq = lambda: pl.BlockSpec((tb, 1, t, d), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)
+    seq = lambda t: pl.BlockSpec((tb, 1, t, d), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, use_bias=use_bias, rate=rate,
                           num_heads=h),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  seq(), seq(), seq(),
-                  pl.BlockSpec((1, t, t), lambda i, j: (j, 0, 0),
+                  seq(tq), seq(tk), seq(tk),
+                  pl.BlockSpec((1, tq, tk), lambda i, j: (j, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=seq(),
+        out_specs=seq(tq),
         interpret=interpret,
     )(seed, q, k, v, bias)
     return out[:b] if pad else out
@@ -173,9 +179,13 @@ def _core_forward(q, k, v, bias, seed, rate: float, block_b: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def attention_core(q, k, v, bias, seed=0, dropout_rate: float = 0.0,
                    block_b: int = 128, interpret: bool = False):
-    """Fused softmax attention over (B, H, T, D) with T small.
+    """Fused softmax attention, q: (B, H, Tq, D), k/v: (B, H, Tk, D), with
+    Tq/Tk small. Rectangular (Tq != Tk) shapes are first-class — NAR enc-dec
+    attention (Tf queries over Tp memory, reference:
+    VidHRFormer_modules.py:194-206) and TSLMA at Tp != Tf route here instead
+    of falling back to XLA's ~8x-padded (Tq, Tk) logits.
 
-    ``bias``: optional (H | 1, T, T) additive logit bias (RPE and/or causal
+    ``bias``: optional (H | 1, Tq, Tk) additive logit bias (RPE and/or causal
     mask as -1e30). ``seed``: int32 scalar (array or python int) driving the
     in-kernel attention-weight dropout when ``dropout_rate > 0``. Fully
     differentiable; the backward Pallas kernel recomputes softmax and the
@@ -194,23 +204,24 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     revisited on consecutive grid steps (accumulation-safe)."""
     j = pl.program_id(0)                 # head
     i = pl.program_id(1)                 # batch tile index
-    q = q_ref[:, 0]                      # (TB, T, D)
-    k = k_ref[:, 0]
+    q = q_ref[:, 0]                      # (TB, Tq, D)
+    k = k_ref[:, 0]                      # (TB, Tk, D)
     v = v_ref[:, 0]
-    g = g_ref[:, 0]
-    tb, t, d = q.shape
+    g = g_ref[:, 0]                      # (TB, Tq, D)
+    tb, tq, d = q.shape
+    tk = k.shape[1]
     scale = d ** -0.5
 
     logits = jax.lax.dot_general(
         q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (TB, T, T)
+        preferred_element_type=jnp.float32)          # (TB, Tq, Tk)
     if use_bias:
         logits = logits + bias_ref[:].astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)              # f32, pre-dropout
     if rate > 0.0:
         keep = _keep_mask(seed_ref[0].astype(jnp.uint32),
                           jnp.uint32(i * tb), jnp.uint32(j),
-                          tb, t, num_heads, rate)
+                          tb, tq, tk, num_heads, rate)
         w_drop = jnp.where(keep, w / (1.0 - rate), 0.0)
     else:
         w_drop = w
@@ -220,14 +231,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     # dv = w_drop^T g
     dv = jax.lax.dot_general(
         w_drop, gf,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))))  # (TB, T, D)
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))))  # (TB, Tk, D)
     # d(w_drop) = g v^T ; dropout backward maps it to dw
     dw = jax.lax.dot_general(
-        gf, vf, dimension_numbers=(((2,), (2,)), ((0,), (0,))))  # (TB, T, T)
+        gf, vf,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))))  # (TB, Tq, Tk)
     if rate > 0.0:
         dw = jnp.where(keep, dw / (1.0 - rate), 0.0)
     # softmax backward (on the PRE-dropout weights)
-    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))      # (TB, T, T)
+    dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))      # (TB, Tq, Tk)
     # dq = (dl k) * scale ; dk = (dl^T q) * scale
     dq = jax.lax.dot_general(
         dl, k.astype(jnp.float32),
@@ -240,7 +252,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
     dk_ref[:, 0] = dk.astype(dk_ref.dtype)
     dv_ref[:, 0] = dv.astype(dv_ref.dtype)
     if use_bias:
-        dsum = jnp.sum(dl, axis=0)                   # (T, T)
+        dsum = jnp.sum(dl, axis=0)                   # (Tq, Tk)
 
         @pl.when(i == 0)
         def _():
@@ -255,37 +267,38 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
 def _core_backward(q, k, v, bias, seed, g, rate: float, block_b: int,
                    interpret: bool):
-    b, h, t, d = q.shape
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
     use_bias = bias is not None
-    bias_in = (jnp.broadcast_to(bias.astype(jnp.float32), (h, t, t))
-               if use_bias else jnp.zeros((h, t, t), jnp.float32))
+    bias_in = (jnp.broadcast_to(bias.astype(jnp.float32), (h, tq, tk))
+               if use_bias else jnp.zeros((h, tq, tk), jnp.float32))
     seed_in = jnp.asarray(seed).astype(jnp.int32).reshape(1)
 
     tb = min(block_b, b)
     pad = (-b) % tb
     if pad:
-        zeros = jnp.zeros((pad, h, t, d), q.dtype)
-        q = jnp.concatenate([q, zeros], axis=0)
-        k = jnp.concatenate([k, zeros], axis=0)
-        v = jnp.concatenate([v, zeros], axis=0)
-        g = jnp.concatenate([g, jnp.zeros((pad, h, t, d), g.dtype)], axis=0)
+        kz = jnp.zeros((pad, h, tk, d), q.dtype)
+        q = jnp.concatenate([q, jnp.zeros((pad, h, tq, d), q.dtype)], axis=0)
+        k = jnp.concatenate([k, kz], axis=0)
+        v = jnp.concatenate([v, kz], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, h, tq, d), g.dtype)], axis=0)
     grid = (h, q.shape[0] // tb)         # heads outer (see kernel docstring)
 
-    seq = lambda: pl.BlockSpec((tb, 1, t, d), lambda j, i: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)
-    head_bias = lambda: pl.BlockSpec((1, t, t), lambda j, i: (j, 0, 0),
+    seq = lambda t: pl.BlockSpec((tb, 1, t, d), lambda j, i: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    head_bias = lambda: pl.BlockSpec((1, tq, tk), lambda j, i: (j, 0, 0),
                                      memory_space=pltpu.VMEM)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, use_bias=use_bias, rate=rate,
                           num_heads=h),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct((h, t, t), jnp.float32)),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct((h, tq, tk), jnp.float32)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  seq(), seq(), seq(), head_bias(), seq()],
-        out_specs=(seq(), seq(), seq(), head_bias()),
+                  seq(tq), seq(tk), seq(tk), head_bias(), seq(tq)],
+        out_specs=(seq(tq), seq(tk), seq(tk), head_bias()),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

@@ -53,9 +53,12 @@ def main():
                              "the fused core — full parity semantics)")
     parser.add_argument("--conv-ffn", action="store_true",
                         help="fused Pallas conv+LayerNorm+GELU in the "
-                             "conv-FFN fc1/fc2 stages (CPU-only ablation: "
-                             "measured slower than XLA and gated off on "
-                             "TPU — see BENCH_NOTES.md)")
+                             "conv-FFN fc1/fc2 stages. Ablation, only "
+                             "runnable where the backend is CPU (e.g. with "
+                             "JAX_PLATFORMS=cpu, typically alongside "
+                             "--quick): measured slower than XLA, and "
+                             "build_transformer raises cleanly if the "
+                             "backend is TPU — see BENCH_NOTES.md)")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 
@@ -108,7 +111,9 @@ def main():
         bk = trainer.put_batch_stacked(past_k, future_k)
         dispatches = max(1, -(-args.steps // k))
         n_steps = dispatches * k
-        state, metrics = trainer.multi_train_step(state, *bk)
+        # honor --warmup here too: ceil(warmup / k) warmup dispatches
+        for _ in range(max(1, -(-args.warmup // k))):
+            state, metrics = trainer.multi_train_step(state, *bk)
         float(metrics["T_total"][-1])
         t0 = time.perf_counter()
         for _ in range(dispatches):

@@ -113,6 +113,40 @@ def test_sequence_parallel_matches_baseline():
                                    atol=1e-4, rtol=1e-4, err_msg=k)
 
 
+def test_sp_plus_tp_matches_baseline():
+    """SP and TP COMBINED on the same 'model' axis (the configuration
+    dryrun_multichip validates): tensor-parallel param shards + temporal
+    token columns sharded over 'model'. GSPMD reshards between the two
+    layouts — numerics must match the single-device run. This blesses the
+    composition; each addresses a different bottleneck (TP: param/optimizer
+    HBM + GEMM FLOPs, SP: activation HBM in temporal attention)."""
+    cfg_base = get_preset("far_mnist").override(TINY)
+    cfg_sp = get_preset("far_mnist").override(
+        {**TINY, "mesh": {"data": 4, "model": 2},
+         "transformer": {**TINY["transformer"], "sequence_parallel": True}})
+    past, future = _batch(np.random.default_rng(7))
+
+    tr_base = Trainer(cfg_base, mesh=make_mesh(data=1, model=1,
+                                               devices=jax.devices()[:1]),
+                      write_outputs=False)
+    s0 = tr_base.init_state()
+    s0, m0 = tr_base.train_step(s0, *tr_base.put_batch(past, future))
+
+    mesh = make_mesh(data=4, model=2)
+    tr = Trainer(cfg_sp, mesh=mesh, write_outputs=False)
+    template = jax.eval_shape(tr.init_state)
+    shardings = state_sharding(template, mesh, tensor_parallel=True)
+    s1 = jax.jit(tr.init_state, out_shardings=shardings)()
+    # TP must actually engage alongside SP
+    specs = tp_param_specs(s1.transformer.params)
+    assert [s for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)) if len(s) > 0]
+    s1, m1 = tr.train_step(s1, *tr.put_batch(past, future))
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
 NAR_TINY = {
     "dtype": "float32",
     "ae": {"feat_dim": 24, "n_res_blocks": 1},

@@ -42,3 +42,35 @@ def test_preset_one_step(name):
         assert np.isfinite(float(v)), (name, k, v)
     em, pred = tr.eval_step(state, *tr.put_batch(past, future))
     assert np.isfinite(float(list(em.values())[0]))
+
+@pytest.mark.slow
+def test_nar_kth_128_geometry_runs():
+    """The 128x128 -> 16x16-latent path must actually run: 16 windows per
+    frame, 16x16 geometry-bound frame_queries and 2D pos embeds (BASELINE
+    config 4 names this geometry literally; no reference script trains it —
+    utils/dataset.py:24-25 resizes KTH to 64, see the nar_kth preset note).
+    Model widths shrink for CPU; the latent geometry does not."""
+    cfg = get_preset("nar_kth_128").override({
+        "dtype": "float32",
+        "ae": {"feat_dim": 24, "n_res_blocks": 1},
+        "transformer": {"d_model": 24, "n_heads": 4, "num_encoder_layers": 1,
+                        "num_decoder_layers": 1,
+                        "num_past_frames": 2, "num_future_frames": 2},
+        "data": {"batch_size": 2, "num_past_frames": 2,
+                 "num_future_frames": 2},
+    })
+    assert cfg.data.img_size == 128
+    assert (cfg.transformer.enc_h, cfg.transformer.enc_w) == (16, 16)
+
+    tr = Trainer(cfg, write_outputs=False)
+    state = tr.init_state()
+    assert state.transformer.params["frame_queries"].shape == (2, 16, 16, 24)
+    rng = np.random.default_rng(0)
+    past = rng.random((2, 2, 128, 128, 1)).astype(np.float32)
+    future = rng.random((2, 2, 128, 128, 1)).astype(np.float32)
+    state, metrics = tr.train_step(state, *tr.put_batch(past, future))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    em, pred = tr.eval_step(state, *tr.put_batch(past, future))
+    assert pred.shape[-3:] == (128, 128, 1)
+    assert np.isfinite(float(list(em.values())[0]))

@@ -334,7 +334,10 @@ _register("far_mnist", ExperimentConfig(
     loss=LossConfig(lam_gan=None),
 ))
 
-# 4) VPTR-NAR KTH (10 -> 20/40 long-horizon eval)
+# 4) VPTR-NAR KTH (10 -> 20/40 long-horizon eval). 64x64 frames: the
+#    reference's KTH pipeline center-crops 120 and resizes to 64
+#    (reference: utils/dataset.py:24-25), so this is the parity reading of
+#    "VPTR-NAR KTH" even though BASELINE.json names 128x128 (see nar_kth_128).
 _register("nar_kth", ExperimentConfig(
     name="nar_kth", stage="nar", epochs=100,
     ae=AutoencoderConfig(img_channels=1, out_layer="tanh"),
@@ -342,6 +345,24 @@ _register("nar_kth", ExperimentConfig(
         variant="nar", num_encoder_layers=4, num_decoder_layers=8, rpe=True),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=dataclasses.replace(_kth_data(16), test_future_frames=40),
+    loss=LossConfig(lam_nce=0.1),
+))
+
+# 4c) VPTR-NAR KTH at 128x128 — the geometry BASELINE.json's config 4 names
+#     literally ("KTH grayscale 128x128, 10 -> 20/40"). No reference script
+#     trains this (utils/dataset.py:24-25 resizes KTH to 64), so it has no
+#     upstream recipe to cite; it exists so the 16x16-latent path (16
+#     windows/frame, geometry-bound frame_queries and pos embeds) is a
+#     shipped, tested configuration. Same recipe as nar_kth otherwise.
+_register("nar_kth_128", ExperimentConfig(
+    name="nar_kth_128", stage="nar", epochs=100,
+    ae=AutoencoderConfig(img_channels=1, out_layer="tanh"),
+    transformer=TransformerConfig(
+        variant="nar", num_encoder_layers=4, num_decoder_layers=8, rpe=True,
+        enc_h=16, enc_w=16),
+    optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
+    data=dataclasses.replace(_kth_data(16), img_size=128,
+                             test_future_frames=40),
     loss=LossConfig(lam_nce=0.1),
 ))
 

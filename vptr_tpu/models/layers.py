@@ -431,8 +431,16 @@ class TemporalAttention(nn.Module):
     fused_full: bool = False
     sp: bool = False        # sequence parallel: shard the (H*W) column axis
                             # over the 'model' mesh axis (GSPMD inserts the
-                            # collectives); alternative to head TP — do not
-                            # combine both on the same axis
+                            # collectives). Composes with head TP on the same
+                            # axis: GSPMD reshards activations between the
+                            # column-sharded and head-sharded layouts, with
+                            # numerics unchanged (test_parallel.py::
+                            # test_sp_plus_tp_matches_baseline; dryrun_
+                            # multichip runs this composition). TP targets
+                            # param/optimizer HBM + GEMM FLOPs, SP targets
+                            # temporal-attention activation HBM — the extra
+                            # reshard collectives only pay off at larger
+                            # geometries (see PARITY.md collective counts)
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -153,7 +153,14 @@ class EncoderBlock(nn.Module):
 
 
 class DecoderBlockNAR(nn.Module):
-    """VidHRFormerBlockDecNAR (reference: VidHRFormer_modules.py:125-211)."""
+    """VidHRFormerBlockDecNAR (reference: VidHRFormer_modules.py:125-211).
+
+    ``fused_residual`` is accepted for config uniformity with EncoderBlock
+    but intentionally unused: the decoder's window self-attention separates
+    the query-pos-augmented q/k from the raw value (sublayer 1 below), which
+    the residual-folding kernel path does not support (it requires
+    q_in = k_in = v_in). The flag therefore only affects encoder blocks —
+    noted at the config field too (config.py ``fused_residual``)."""
 
     dim: int
     num_heads: int

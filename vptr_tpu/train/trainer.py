@@ -284,8 +284,19 @@ class Trainer:
         """Stage (K, B, ...) stacked batches for a multi-step dispatch —
         the batch axis to shard over the data mesh axis is axis 1."""
         n_data = self.mesh.shape[DATA_AXIS]
-        sharding = (NamedSharding(self.mesh, P(None, DATA_AXIS))
-                    if past_k.shape[1] % n_data == 0 else self.replicated)
+        ragged = past_k.shape[1] % n_data != 0
+        if ragged and past_k.shape[1] not in self._warned_ragged:
+            # same once-per-shape signal as put_batch: a steps_per_dispatch>1
+            # run with batch_size % data-axis != 0 would otherwise forfeit
+            # data parallelism on every step silently
+            self._warned_ragged.add(past_k.shape[1])
+            self.logger.warning(
+                "stacked batch of %d does not divide the data axis (%d "
+                "devices); replicating — all devices compute the full batch. "
+                "Pick a batch_size divisible by the data axis for real DP.",
+                past_k.shape[1], n_data)
+        sharding = (self.replicated if ragged
+                    else NamedSharding(self.mesh, P(None, DATA_AXIS)))
         return (self._stage(past_k, sharding), self._stage(future_k, sharding))
 
     def _stage(self, arr: np.ndarray, sharding):

@@ -113,6 +113,82 @@ def test_sequence_parallel_matches_baseline():
                                    atol=1e-4, rtol=1e-4, err_msg=k)
 
 
+def test_two_process_distributed_matches_single():
+    """REAL multi-process execution (process_count() == 2), which the
+    in-process fake cluster cannot cover: two subprocesses join a
+    jax.distributed CPU cluster (4 fake devices each, 8 global) and run one
+    FAR train step on host-sharded batch halves. Asserts (a) global-batch
+    assembly via make_array_from_process_local_data reproduces the
+    single-process step, (b) the ragged-multi-host ValueError fires, and
+    (c) only host 0 constructs the logger/TB writer. Parity target: the
+    reference's DDP drivers (train_FAR_mp.py:200-204,320-326)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    tiny = {**TINY,
+            "transformer": {**TINY["transformer"],
+                            "dropout": 0.0, "drop_path": 0.0}}
+
+    # single-process reference on the in-process 8-device cluster
+    rng = np.random.default_rng(0)
+    past, future = _batch(rng)
+    cfg = get_preset("far_mnist").override(tiny)
+    tr = Trainer(cfg, mesh=make_mesh(data=8, model=1), write_outputs=False)
+    s0 = tr.init_state()
+    s0, m_ref = tr.train_step(s0, *tr.put_batch(past, future))
+    m_ref = {k: float(v) for k, v in m_ref.items()}
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    with tempfile.TemporaryDirectory() as out_dir:
+        np.savez(Path(out_dir) / "batch.npz", past=past, future=future)
+        worker = Path(__file__).parent / "_mp_worker.py"
+        import os
+
+        repo_root = str(Path(__file__).parent.parent)
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu",
+               "PALLAS_AXON_POOL_IPS": "",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+               # repo root first; keep the existing tail (the axon
+               # sitecustomize rides PYTHONPATH on this image)
+               "PYTHONPATH": os.pathsep.join(
+                   [repo_root] + ([os.environ["PYTHONPATH"]]
+                                  if os.environ.get("PYTHONPATH") else []))}
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), out_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        results = {}
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith("RESULT ")]
+            assert line, out[-3000:]
+            r = json.loads(line[-1][len("RESULT "):])
+            results[r["pid"]] = r
+
+        # (c) host-0-only observability
+        assert results[0]["host0_outputs"] is True
+        assert results[1]["host0_outputs"] is False
+        assert (Path(out_dir) / "run" / "train_log.log").exists()
+        # (b) ragged multi-host raise, on both hosts
+        assert results[0]["ragged_raised"] and results[1]["ragged_raised"]
+        # (a) assembled global batch == single-process step
+        for k, v in m_ref.items():
+            for pid in (0, 1):
+                np.testing.assert_allclose(
+                    results[pid]["metrics"][k], v, atol=1e-5, rtol=1e-5,
+                    err_msg=f"{k} (host {pid})")
+
+
 def test_sp_plus_tp_matches_baseline():
     """SP and TP COMBINED on the same 'model' axis (the configuration
     dryrun_multichip validates): tensor-parallel param shards + temporal

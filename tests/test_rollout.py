@@ -106,3 +106,32 @@ def test_nar_rollout_chaining():
         ctx = jnp.concatenate([ctx, pred], axis=1)[:, -tp:]
     want = np.concatenate(chunks, axis=1)[:, :7]
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_nar_rollout_chaining_tp_neq_tf():
+    """The BAIR 2->28 shape in miniature: Tp=2 != Tf=4, num_pred=10 chains
+    4+4+2 with a partial last block; each next context is the LAST Tp frames
+    of (context + prediction) — the notebook's NAR_BAIR_2_to_28 semantics."""
+    tp, tf, num_pred = 2, 4, 10
+    model = VPTRFormerNAR(num_past_frames=tp, num_future_frames=tf,
+                          enc_h=H, enc_w=W, d_model=C, num_heads=4,
+                          num_encoder_layers=1, num_decoder_layers=1,
+                          window=4, dropout=0.0, drop_path=0.0,
+                          ffn_hidden_ratio=2, rpe=True)
+    x = jnp.zeros((1, tp, H, W, C))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False,
+                           method="init_all")
+    tr_fn = lambda feats: model.apply(variables, feats, train=False)
+    enc, dec = _identity_codec()
+    past = jnp.asarray(RNG.normal(size=(2, tp, H, W, C)).astype(np.float32))
+
+    got = np.asarray(nar_rollout(enc, dec, tr_fn, past, num_pred, tf))
+    ctx = enc(past)
+    chunks = []
+    for _ in range(3):
+        pred = tr_fn(ctx)
+        chunks.append(np.asarray(pred))
+        ctx = jnp.concatenate([ctx, pred], axis=1)[:, -tp:]
+    want = np.concatenate(chunks, axis=1)[:, :num_pred]
+    assert got.shape == (2, num_pred, H, W, C)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

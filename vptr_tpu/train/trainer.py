@@ -264,9 +264,12 @@ class Trainer:
 
     def put_batch(self, past: np.ndarray, future: np.ndarray):
         # ragged batches (e.g. the last test batch, drop_last=False) cannot
-        # shard evenly over the data axis — replicate those instead
+        # shard evenly over the data axis — replicate those instead. Under
+        # multi-host each process stages its LOCAL shard of the global batch
+        # (build_loader: per-host batch = batch // num_hosts), so the
+        # divisibility check is on the GLOBAL row count.
         n_data = self.mesh.shape[DATA_AXIS]
-        ragged = past.shape[0] % n_data != 0
+        ragged = (past.shape[0] * jax.process_count()) % n_data != 0
         if ragged and past.shape[0] not in self._warned_ragged:
             # meant for occasional eval tails; if EVERY batch hits this
             # (batch_size % data-axis != 0) the run silently forfeits data
@@ -284,7 +287,7 @@ class Trainer:
         """Stage (K, B, ...) stacked batches for a multi-step dispatch —
         the batch axis to shard over the data mesh axis is axis 1."""
         n_data = self.mesh.shape[DATA_AXIS]
-        ragged = past_k.shape[1] % n_data != 0
+        ragged = (past_k.shape[1] * jax.process_count()) % n_data != 0
         if ragged and past_k.shape[1] not in self._warned_ragged:
             # same once-per-shape signal as put_batch: a steps_per_dispatch>1
             # run with batch_size % data-axis != 0 would otherwise forfeit

@@ -31,8 +31,10 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="far_mnist",
-                        choices=["far_mnist", "nar_mnist"],
-                        help="which training step to benchmark")
+                        choices=["far_mnist", "nar_mnist", "nar_bair"],
+                        help="which training step to benchmark (nar_bair = "
+                             "the published headline geometry: 3-channel, "
+                             "Tp=2 -> Tf=10, rectangular enc-dec attention)")
     parser.add_argument("--batch", type=int, default=None,
                         help="per-chip batch (default: the preset's "
                              "reference batch — FAR 10, NAR 16)")

@@ -37,6 +37,30 @@ _GOLDEN = 0x9E3779B9        # 2^32 / golden ratio
 _MIX1 = 0x7FEB352D          # murmur3-variant finalizer constants
 _MIX2 = 0x846CA68B
 
+# Mosaic's default scoped-VMEM budget is 16 MB; large-token grid cells
+# (e.g. TSLMA's 160-token windows: logits tile (64, 160, 128-padded) f32)
+# blow past it and the compile helper aborts (presents as an opaque HTTP
+# 500 from the relay — same failure class as round 3's padded-token
+# backward, scripts/tpu_bisect_r03.py). Request 64 MB like the
+# fused_window_attention kernels, and additionally shrink the batch tile
+# until the working-set estimate fits (measured: (64, 160x32) fails at the
+# default budget, passes at 64 MB; (64, 160x160) needs the tile shrink).
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_TARGET = 40 * 1024 * 1024   # leave room for pipeline double-buffering
+
+
+def _fit_block(block_b: int, b: int, lq: int, lk: int, d: int,
+               bwd: bool) -> int:
+    """Largest batch tile <= block_b whose per-cell VMEM estimate fits."""
+    lkp = -(-lk // 128) * 128          # lane-padded logits width
+    dp = -(-d // 128) * 128
+    n_logits = 4 if bwd else 2         # logits+weights (+dw+dl in backward)
+    per_row = (n_logits * lq * lkp + (2 * lq + 2 * lk) * dp) * 4
+    tb = min(block_b, b)
+    while tb > 8 and tb * per_row > _VMEM_TARGET:
+        tb //= 2
+    return tb
+
 
 def _hash_uniform(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     """Counter-based uniform(0,1) from a uint32 element index + seed.
@@ -150,7 +174,7 @@ def _core_forward(q, k, v, bias, seed, rate: float, block_b: int,
     bias = bias.astype(jnp.float32)
     seed = jnp.asarray(seed).astype(jnp.int32).reshape(1)
 
-    tb = min(block_b, b)
+    tb = _fit_block(block_b, b, tq, tk, d, bwd=False)
     pad = (-b) % tb
     if pad:
         q = jnp.concatenate([q, jnp.zeros((pad, h, tq, d), q.dtype)], axis=0)
@@ -171,6 +195,8 @@ def _core_forward(q, k, v, bias, seed, rate: float, block_b: int,
                   pl.BlockSpec((1, tq, tk), lambda i, j: (j, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=seq(tq),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, q, k, v, bias)
     return out[:b] if pad else out
@@ -274,7 +300,7 @@ def _core_backward(q, k, v, bias, seed, g, rate: float, block_b: int,
                if use_bias else jnp.zeros((h, tq, tk), jnp.float32))
     seed_in = jnp.asarray(seed).astype(jnp.int32).reshape(1)
 
-    tb = min(block_b, b)
+    tb = _fit_block(block_b, b, tq, tk, d, bwd=True)
     pad = (-b) % tb
     if pad:
         kz = jnp.zeros((pad, h, tk, d), q.dtype)
@@ -300,7 +326,8 @@ def _core_backward(q, k, v, bias, seed, g, rate: float, block_b: int,
                   seq(tq), seq(tk), seq(tk), head_bias(), seq(tq)],
         out_specs=(seq(tq), seq(tk), seq(tk), head_bias()),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed_in, q, k, v, bias_in, g)
     if pad:

@@ -182,3 +182,27 @@ def test_fused_full_blocks_override_hook():
     finally:
         layers.FUSED_FULL_BLOCKS_OVERRIDE = None
     assert mha._ff_blocks() == (32, 16)
+
+
+def test_fused_full_blocks_config_field_reaches_kernel():
+    """transformer.fused_full_blocks (the r4 config route to the bigtile
+    tiles) must plumb through the block tree to MultiHeadAttention AND
+    produce output identical to the default tiling — tile shape is a
+    schedule choice, never a numerics choice."""
+    from vptr_tpu.config import get_preset
+    from vptr_tpu.models.transformer import build_transformer
+
+    base = get_preset("far_mnist").override({"transformer": {
+        "d_model": 32, "n_heads": 2, "num_encoder_layers": 1,
+        "dropout": 0.0, "drop_path": 0.0,
+        "fused_attention": True, "fused_full": True}})
+    big = base.override({"transformer": {"fused_full_blocks": (8, 8)}})
+    feats = jnp.asarray(
+        RNG.normal(size=(1, 3, 8, 8, 32)).astype(np.float32))
+    m0 = build_transformer(base.transformer)
+    m1 = build_transformer(big.transformer)
+    v = m0.init(jax.random.PRNGKey(0), feats)
+    out0 = m0.apply(v, feats)
+    out1 = m1.apply(v, feats)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)

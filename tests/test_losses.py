@@ -135,3 +135,26 @@ def test_noam_schedule_shape():
     lrs = [float(sched(s)) for s in [1, 50, 100, 200, 1000]]
     assert lrs[2] == max(lrs)  # peak at warmup
     assert lrs[0] < lrs[1] < lrs[2] and lrs[3] > lrs[4]
+
+
+def test_build_optimizer_mu_dtype():
+    """optim.mu_dtype="bfloat16" stores Adam's first moment in bf16 (the
+    update phase is pure HBM bandwidth — BENCH_NOTES r4) and still trains;
+    f32 default is reference parity."""
+    import optax
+
+    from vptr_tpu.config import OptimConfig
+    from vptr_tpu.losses import build_optimizer
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    grads = {"w": jnp.full((4, 4), 0.5, jnp.float32)}
+    for dt, expect in [("float32", jnp.float32), ("bfloat16", jnp.bfloat16)]:
+        opt = build_optimizer(OptimConfig(mu_dtype=dt))
+        state = opt.init(params)
+        mu = jax.tree_util.tree_leaves(
+            [s.mu for s in jax.tree_util.tree_leaves(
+                state, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")])
+        assert all(m.dtype == expect for m in mu), (dt, mu)
+        updates, _ = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all()

@@ -89,6 +89,15 @@ class TransformerConfig:
                                         # bwd). Measured-fastest parity config
                                         # on v5e (162.2 ms/step vs 168.7 core-
                                         # only — BENCH_NOTES.md round-3 sweep)
+    fused_full_blocks: Tuple[int, int] = (32, 16)
+                                        # (fwd, bwd) batch tiles of the fully-
+                                        # fused window kernel. (64, 32)
+                                        # ("bigtile") re-measured ~0.7% faster
+                                        # same-session under the 64 MB scoped-
+                                        # VMEM budget (BENCH_NOTES round 3);
+                                        # kept conservative by default so
+                                        # larger-token geometries (TSLMA's
+                                        # 160-token windows) keep VMEM headroom
     fused_full_temporal: bool = False   # extend fused_full to the temporal
                                         # sublayer (tokens padded 19->32 in-
                                         # kernel). Measured ~neutral on v5e:
@@ -144,6 +153,18 @@ class OptimConfig:
     schedule: str = "constant"          # constant | noam
     noam_factor: float = 2.0
     noam_warmup_steps: int = 4000
+    mu_dtype: str = "float32"           # dtype of Adam's FIRST moment
+                                        # (optax mu_dtype). "bfloat16" halves
+                                        # the mu read+write HBM traffic of the
+                                        # update phase — the update is pure
+                                        # bandwidth (measured 89% of the HBM
+                                        # ceiling, results_r03/roofline). A
+                                        # documented numerics divergence from
+                                        # the reference's f32 torch AdamW;
+                                        # f32 default = parity. The second
+                                        # moment stays f32 (optax exposes
+                                        # mu_dtype only; nu's rsqrt is also
+                                        # precision-critical)
 
 
 @dataclass(frozen=True)

@@ -151,11 +151,12 @@ def build_optimizer(cfg, d_model: int = 528) -> optax.GradientTransformation:
         lr = noam_schedule(d_model, cfg.noam_factor, cfg.noam_warmup_steps)
     else:
         lr = cfg.lr
+    mu_dtype = jnp.dtype(getattr(cfg, "mu_dtype", "float32"))
     if cfg.optimizer == "adamw":
         opt = optax.adamw(lr, b1=cfg.b1, b2=cfg.b2,
-                          weight_decay=cfg.weight_decay)
+                          weight_decay=cfg.weight_decay, mu_dtype=mu_dtype)
     elif cfg.optimizer == "adam":
-        opt = optax.adam(lr, b1=cfg.b1, b2=cfg.b2)
+        opt = optax.adam(lr, b1=cfg.b1, b2=cfg.b2, mu_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.max_grad_norm is not None:

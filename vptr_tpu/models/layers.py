@@ -349,6 +349,7 @@ class WindowAttention(nn.Module):
     rpe: bool = False
     fused: bool = False
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -383,7 +384,9 @@ class WindowAttention(nn.Module):
         xw, offs, padded_hw = to_windows(x)
         mha = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                  dtype=self.dtype, fused=self.fused,
-                                 fused_full=self.fused_full, name="attn")
+                                 fused_full=self.fused_full,
+                                 fused_full_blocks=tuple(self.fused_full_blocks),
+                                 name="attn")
         if ln is not None:
             assert value is None, "ln folding requires value is None"
             qk_pos = None if self.rpe else pos2d.reshape(tokens, c)
@@ -429,6 +432,7 @@ class TemporalAttention(nn.Module):
     causal: bool = False
     fused: bool = False
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     sp: bool = False        # sequence parallel: shard the (H*W) column axis
                             # over the 'model' mesh axis (GSPMD inserts the
                             # collectives). Composes with head TP on the same
@@ -477,7 +481,9 @@ class TemporalAttention(nn.Module):
 
         mha = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                  dtype=self.dtype, fused=self.fused,
-                                 fused_full=self.fused_full, name="attn")
+                                 fused_full=self.fused_full,
+                                 fused_full_blocks=tuple(self.fused_full_blocks),
+                                 name="attn")
         if ln is not None:
             assert kv is None, "ln folding requires self-attention (kv=None)"
             xc = sp_shard(cols(x))

@@ -59,6 +59,7 @@ class EncoderBlock(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False           # fully-fused sublayer (projections in-kernel)
+    fused_full_blocks: tuple = (32, 16)  # (fwd, bwd) kernel batch tiles
     fused_full_temporal: bool = False  # extend full fusion to the temporal
                                        # sublayer (padded tokens; measured
                                        # ~neutral on v5e — see BENCH_NOTES)
@@ -91,7 +92,9 @@ class EncoderBlock(nn.Module):
         wa = WindowAttention(self.dim, self.num_heads, self.window,
                              attn_drop, rpe=self.rpe,
                              fused=self.fused_attention,
-                             fused_full=self.fused_full, dtype=self.dtype,
+                             fused_full=self.fused_full,
+                             fused_full_blocks=self.fused_full_blocks,
+                             dtype=self.dtype,
                              name="slmhsa")
         if fold and self.fused_residual:
             # residual + DropPath fold into the kernel. The DropPath draw
@@ -132,6 +135,7 @@ class EncoderBlock(nn.Module):
         ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                causal=self.far, fused=self.fused_attention,
                                fused_full=fold_t,
+                               fused_full_blocks=self.fused_full_blocks,
                                sp=self.sequence_parallel,
                                dtype=self.dtype, name="temporal")
         if fold_t:
@@ -174,6 +178,7 @@ class DecoderBlockNAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     fused_full_temporal: bool = False
     fused_residual: bool = False
     fused_ffn: bool = False
@@ -198,7 +203,9 @@ class DecoderBlockNAR(nn.Module):
         y = WindowAttention(self.dim, self.num_heads, self.window,
                             attn_drop, rpe=self.rpe,
                             fused=self.fused_attention,
-                            fused_full=self.fused_full, dtype=self.dtype,
+                            fused_full=self.fused_full,
+                            fused_full_blocks=self.fused_full_blocks,
+                            dtype=self.dtype,
                             name="slmhsa")(
             t2 + query_pos, pos2d, value=t2, deterministic=deterministic)
         tgt = tgt + dp(y, deterministic=deterministic)
@@ -219,6 +226,7 @@ class DecoderBlockNAR(nn.Module):
         ta = TemporalAttention(self.dim, self.num_heads, attn_drop,
                                fused=self.fused_attention,
                                fused_full=fold_t,
+                               fused_full_blocks=self.fused_full_blocks,
                                sp=self.sequence_parallel, dtype=self.dtype,
                                name="temporal")
         if fold_t:
@@ -317,6 +325,7 @@ class _ScanEncoderBlock(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     fused_full_temporal: bool = False
     fused_residual: bool = False
     fused_ffn: bool = False
@@ -335,6 +344,7 @@ class _ScanEncoderBlock(nn.Module):
                 self.dim_feedforward, far=self.far, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_full_blocks=self.fused_full_blocks,
                 fused_full_temporal=self.fused_full_temporal,
                 fused_residual=self.fused_residual,
                 fused_ffn=self.fused_ffn,
@@ -363,6 +373,7 @@ class _ScanDecoderBlockNAR(nn.Module):
     fused_attention: bool
     remat: bool
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     fused_full_temporal: bool = False
     fused_residual: bool = False
     fused_ffn: bool = False
@@ -381,6 +392,7 @@ class _ScanDecoderBlockNAR(nn.Module):
                 self.dim_feedforward, tslma=self.tslma, rpe=self.rpe,
                 fused_attention=self.fused_attention,
                 fused_full=self.fused_full,
+                fused_full_blocks=self.fused_full_blocks,
                 fused_full_temporal=self.fused_full_temporal,
                 fused_residual=self.fused_residual,
                 fused_ffn=self.fused_ffn,
@@ -415,6 +427,7 @@ class VPTRFormerFAR(nn.Module):
     rpe: bool = False
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     fused_full_temporal: bool = False
     fused_residual: bool = False
     fused_ffn: bool = False
@@ -447,6 +460,7 @@ class VPTRFormerFAR(nn.Module):
                           far=True, rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
+                          fused_full_blocks=self.fused_full_blocks,
                           fused_full_temporal=self.fused_full_temporal,
                 fused_residual=self.fused_residual,
                           fused_ffn=self.fused_ffn,
@@ -498,6 +512,7 @@ class VPTRFormerNAR(nn.Module):
     rpe: bool = True
     fused_attention: bool = False
     fused_full: bool = False
+    fused_full_blocks: tuple = (32, 16)
     fused_full_temporal: bool = False
     fused_residual: bool = False
     fused_ffn: bool = False
@@ -521,6 +536,7 @@ class VPTRFormerNAR(nn.Module):
                           rpe=self.rpe,
                           fused_attention=self.fused_attention,
                           fused_full=self.fused_full,
+                          fused_full_blocks=self.fused_full_blocks,
                           fused_full_temporal=self.fused_full_temporal,
                 fused_residual=self.fused_residual,
                           fused_ffn=self.fused_ffn,
@@ -655,6 +671,7 @@ def build_transformer(cfg, dtype=jnp.float32):
                   ffn_hidden_ratio=cfg.spatial_ffn_hidden_ratio,
                   rpe=cfg.rpe, fused_attention=cfg.fused_attention,
                   fused_full=cfg.fused_full,
+                  fused_full_blocks=tuple(cfg.fused_full_blocks),
                   fused_full_temporal=cfg.fused_full_temporal,
                   fused_residual=cfg.fused_residual,
                   fused_ffn=cfg.fused_ffn,

@@ -160,6 +160,17 @@ def main():
     # analytic A100 baseline for the torch reference (see module docstring)
     a100_frames_per_sec = (312e12 * 0.40) / (flops / frames_per_step)
 
+    # whole-step composite speed-of-light on THIS chip (ms) at the preset's
+    # reference batch, from scripts/composite_roofline.py (measured ceilings
+    # 60 TF/s shape-GEMM / 150 TF/s conv / 187 GB/s HBM). The honest
+    # engineering metric alongside vs_baseline — see BENCH_NOTES.md
+    # "The throughput north star, resolved by arithmetic".
+    composite_bound_ms = {
+        ("far_mnist", "float32"): 142.71, ("far_mnist", "bfloat16"): 140.82,
+        ("nar_mnist", "float32"): 172.65, ("nar_mnist", "bfloat16"): 170.12,
+        ("nar_bair", "float32"): 141.06, ("nar_bair", "bfloat16"): 138.53,
+    }.get((args.preset, cfg.optim.mu_dtype))
+
     diag = {"steps_per_sec": round(steps_per_sec, 3),
             "transformer_tflops_per_step": round(flops / 1e12, 3),
             "achieved_tflops": round(achieved_tflops, 2),
@@ -167,6 +178,11 @@ def main():
             "device": str(jax.devices()[0]),
             "batch": batch,
             "losses": {k: float(v) for k, v in metrics.items()}}
+    if (composite_bound_ms and not args.quick
+            and jax.default_backend() == "tpu"
+            and batch == get_preset(args.preset).data.batch_size):
+        diag["pct_of_composite_light"] = round(
+            100 * composite_bound_ms * steps_per_sec / 1e3, 1)
     print(json.dumps(diag), file=sys.stderr)
 
     print(json.dumps({

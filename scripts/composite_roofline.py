@@ -44,23 +44,53 @@ CEIL_GBS = 187.0           # measured HBM bandwidth on this tunneled chip
 EL = 2                     # bf16 bytes
 
 # exact trainable-param counts from initializing the parity geometries
-# (build_transformer(get_preset(name)); matches the AdamW traffic that
-# phase_roofline measures — per-block arithmetic undercounts biases,
-# norms, queries, the NCE head)
-N_PARAMS = {"far_mnist": 88_008_096, "nar_mnist": 117_809_952}
+# (jax.eval_shape over build_transformer(get_preset(name)).init, the NAR
+# ones via init_all so the trained NCE projector's 558,624 params are
+# counted — the round-3 number 117,809,952 missed it); matches the AdamW
+# traffic that phase_roofline measures — per-block arithmetic undercounts
+# biases, norms, queries, the NCE head. nar_bair == nar_mnist: Tp/Tf only
+# change activation shapes, frame_queries are Tf-bound and Tf=10 in both.
+N_PARAMS = {"far_mnist": 88_008_096, "nar_mnist": 118_368_576,
+            "nar_bair": 118_368_576}
 
 
-def lower_bound_ms(flops: float, bytes_: float, tflops=CEIL_SHAPE_TFLOPS):
+def lower_bound_ms(flops: float, bytes_: float, tflops=None):
+    # late-bound so the --ceil-* overrides (set in main) take effect
+    if tflops is None:
+        tflops = CEIL_SHAPE_TFLOPS
     return max(flops / (tflops * 1e12), bytes_ / (CEIL_GBS * 1e9)) * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="far_mnist",
-                    choices=["far_mnist", "nar_mnist"])
+                    choices=["far_mnist", "nar_mnist", "nar_bair"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--measured-step-ms", type=float, default=None)
+    ap.add_argument("--ceil-shape-tflops", type=float, default=None,
+                    help="override the model-shape GEMM ceiling (default: "
+                    "60, measured on this tunneled chip). For a spec-sheet "
+                    "v5e estimate scale by peak: 60 * 197/150 ~= 79")
+    ap.add_argument("--ceil-conv-tflops", type=float, default=None,
+                    help="override the big-GEMM/conv ceiling (default 150 "
+                    "measured; v5e spec peak 197)")
+    ap.add_argument("--ceil-gbs", type=float, default=None,
+                    help="override HBM bandwidth (default 187 measured on "
+                    "this virtualized part; v5e spec 820)")
+    ap.add_argument("--mu-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of Adam's first moment (optim.mu_dtype): "
+                    "bfloat16 shrinks the update's 7-word/param traffic to "
+                    "6 f32-equivalent words (mu read+write at 2 bytes)")
     args = ap.parse_args()
+
+    global CEIL_SHAPE_TFLOPS, CEIL_CONV_TFLOPS, CEIL_GBS
+    if args.ceil_shape_tflops:
+        CEIL_SHAPE_TFLOPS = args.ceil_shape_tflops
+    if args.ceil_conv_tflops:
+        CEIL_CONV_TFLOPS = args.ceil_conv_tflops
+    if args.ceil_gbs:
+        CEIL_GBS = args.ceil_gbs
 
     from vptr_tpu.config import get_preset
     cfg = get_preset(args.preset)
@@ -128,19 +158,20 @@ def main():
     def conv_flops(h, w, cin, cout, k):
         return 2 * h * w * cin * cout * k * k
     ngf, fd = cfg.ae.ngf, cfg.ae.feat_dim
-    enc_f = (conv_flops(64, 64, 1, ngf, 7)
+    ch = cfg.ae.img_channels
+    enc_f = (conv_flops(64, 64, ch, ngf, 7)
              + conv_flops(32, 32, ngf, 2 * ngf, 3)
              + conv_flops(16, 16, 2 * ngf, 4 * ngf, 3)
              + conv_flops(8, 8, 4 * ngf, fd, 3)
              + cfg.ae.n_res_blocks * 2 * conv_flops(8, 8, fd, fd, 3))
     dec_f = (conv_flops(16, 16, fd, 4 * ngf // 2 * 2, 3)
              + conv_flops(32, 32, 4 * ngf // 2, ngf, 3) * 2
-             + conv_flops(64, 64, ngf, 1, 7))
+             + conv_flops(64, 64, ngf, ch, 7))
     # activation traffic: dominated by the full-res stem/head planes
-    enc_bytes = frames_enc * (64 * 64 * (1 + ngf) + 32 * 32 * 2 * ngf
+    enc_bytes = frames_enc * (64 * 64 * (ch + ngf) + 32 * 32 * 2 * ngf
                               + 16 * 16 * 4 * ngf + 8 * 8 * fd * 2) * EL
     dec_bytes = frames_dec * (8 * 8 * fd + 16 * 16 * 2 * ngf
-                              + 32 * 32 * ngf + 64 * 64 * (ngf + 1)) * EL
+                              + 32 * 32 * ngf + 64 * 64 * (ngf + ch)) * EL
     phase("conv_encode_fwd",
           lower_bound_ms(frames_enc * enc_f, enc_bytes, CEIL_CONV_TFLOPS))
     phase("decode_fwd+grad_through",
@@ -148,14 +179,21 @@ def main():
                          CEIL_CONV_TFLOPS))
 
     # ---- losses + optimizer --------------------------------------------
-    frame_bytes = 2 * frames_dec * 64 * 64 * EL
+    frame_bytes = 2 * frames_dec * 64 * 64 * ch * EL
     phase("losses", lower_bound_ms(0, 2 * frame_bytes))
-    phase("adamw_update", lower_bound_ms(0, 7 * N_PARAMS[args.preset] * 4))
+    # AdamW traffic: read p, g, mu, nu; write p, mu, nu. p/g/nu are f32
+    # (5 touches x 4 bytes); mu is touched twice at its own width.
+    mu_bytes = 2 if args.mu_dtype == "bfloat16" else 4
+    phase("adamw_update",
+          lower_bound_ms(0, (5 * 4 + 2 * mu_bytes) * N_PARAMS[args.preset]))
 
     for r in rows:
         print(json.dumps(r))
     out = {"preset": args.preset,
            "composite_step_lower_bound_ms": round(total, 2),
+           "ceilings": {"shape_tflops": CEIL_SHAPE_TFLOPS,
+                        "conv_tflops": CEIL_CONV_TFLOPS,
+                        "hbm_gbs": CEIL_GBS, "mu_dtype": args.mu_dtype},
            "assumptions": "ideal fusion; norms/residuals free; bwd=2x fwd"}
     if args.measured_step_ms:
         out["measured_step_ms"] = args.measured_step_ms

@@ -61,6 +61,12 @@ def main():
                              "--quick): measured slower than XLA, and "
                              "build_transformer raises cleanly if the "
                              "backend is TPU — see BENCH_NOTES.md)")
+    parser.add_argument("--mu-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Adam first-moment dtype (default: the preset's "
+                             "— bfloat16, the round-4 composed config; pass "
+                             "float32 for exact reference-parity optimizer "
+                             "numerics)")
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args()
 
@@ -81,6 +87,8 @@ def main():
                      "fused_attention": args.attention != "unfused",
                      "fused_full": args.attention == "full",
                      "fused_conv_ffn": args.conv_ffn}}
+    if args.mu_dtype:
+        overrides["optim"] = {"mu_dtype": args.mu_dtype}
     if args.quick:
         overrides["ae"] = {"feat_dim": 24, "n_res_blocks": 1}
         # merge, don't replace: the dict at "transformer" already carries

@@ -99,6 +99,11 @@ def main():
         "ckpt_per_epochs": args.ckpt_per_epochs,
         "val_per_epochs": 2,
         "ae_ckpt": ae_ckpt,
+        # the round-4 composed bench config: first-moment bf16 halves the
+        # AdamW update's mu traffic (sweep: -1.3 ms/step, losses matching
+        # to 1e-5 over 48 steps). Running the quality stage with it makes
+        # this run the training-quality validation for that bench default.
+        "optim": {"mu_dtype": "bfloat16"},
     })
     steps_per_epoch = 4096 // cfg.data.batch_size
     epochs = max(1, args.steps // steps_per_epoch)

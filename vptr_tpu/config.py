@@ -89,15 +89,21 @@ class TransformerConfig:
                                         # bwd). Measured-fastest parity config
                                         # on v5e (162.2 ms/step vs 168.7 core-
                                         # only — BENCH_NOTES.md round-3 sweep)
-    fused_full_blocks: Tuple[int, int] = (32, 16)
+    fused_full_blocks: Tuple[int, int] = (64, 32)
                                         # (fwd, bwd) batch tiles of the fully-
-                                        # fused window kernel. (64, 32)
-                                        # ("bigtile") re-measured ~0.7% faster
+                                        # fused window kernel. "bigtile"
+                                        # (64, 32) is the round-4 measured
+                                        # default: -2.6 ms/step vs (32, 16)
                                         # same-session under the 64 MB scoped-
-                                        # VMEM budget (BENCH_NOTES round 3);
-                                        # kept conservative by default so
-                                        # larger-token geometries (TSLMA's
-                                        # 160-token windows) keep VMEM headroom
+                                        # VMEM budget (BENCH_NOTES round 4).
+                                        # Round 3 kept it opt-in for VMEM
+                                        # headroom at larger-token geometries,
+                                        # but those (TSLMA's 160-token windows)
+                                        # route through attention_core, which
+                                        # sizes its own batch tile adaptively
+                                        # (ops/attention_core.py _fit_block) —
+                                        # the budgets are per-pallas_call, not
+                                        # shared
     fused_full_temporal: bool = False   # extend fused_full to the temporal
                                         # sublayer (tokens padded 19->32 in-
                                         # kernel). Measured ~neutral on v5e:
@@ -153,18 +159,23 @@ class OptimConfig:
     schedule: str = "constant"          # constant | noam
     noam_factor: float = 2.0
     noam_warmup_steps: int = 4000
-    mu_dtype: str = "float32"           # dtype of Adam's FIRST moment
-                                        # (optax mu_dtype). "bfloat16" halves
+    mu_dtype: str = "bfloat16"          # dtype of Adam's FIRST moment
+                                        # (optax mu_dtype). bfloat16 halves
                                         # the mu read+write HBM traffic of the
                                         # update phase — the update is pure
                                         # bandwidth (measured 89% of the HBM
-                                        # ceiling, results_r03/roofline). A
-                                        # documented numerics divergence from
-                                        # the reference's f32 torch AdamW;
-                                        # f32 default = parity. The second
-                                        # moment stays f32 (optax exposes
-                                        # mu_dtype only; nu's rsqrt is also
-                                        # precision-critical)
+                                        # ceiling, results_r03/roofline) — and
+                                        # measured -1.3 ms/step with losses
+                                        # matching f32 to 1e-5 over 48 steps
+                                        # (round-4 sweep); the round-4 BAIR-
+                                        # geometry quality run trains with it.
+                                        # A documented numerics divergence
+                                        # from the reference's f32 torch
+                                        # AdamW — set "float32" for exact
+                                        # parity (README parity notes). The
+                                        # second moment stays f32 (optax
+                                        # exposes mu_dtype only; nu's rsqrt
+                                        # is also precision-critical)
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,13 @@ Dtype = Any
 # instance's fused_full_blocks (see MultiHeadAttention._ff_blocks)
 FUSED_FULL_BLOCKS_OVERRIDE = None
 
+# sweep/measurement hook: True routes rectangular (Lq != Lk) cross-attention
+# to XLA even when fused=True, for in-step A/B of the rectangular kernel at
+# the nar_bair geometry (standalone the kernel is ~1 ms slower at tiny Lk —
+# BENCH_NOTES round 4 — but in-step fusion-boundary effects can flip that;
+# the shipped routing follows the in-step measurement)
+FUSED_RECT_DISABLE = False
+
 xavier_uniform = nn.initializers.xavier_uniform()
 trunc_normal_002 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -295,7 +302,8 @@ class MultiHeadAttention(nn.Module):
         # only the leading batch/head dims and the head depth must agree
         use_fused = (self.fused and k.shape == v.shape and
                      q.shape[:-2] == k.shape[:-2] and
-                     q.shape[-1] == k.shape[-1])
+                     q.shape[-1] == k.shape[-1] and
+                     (q.shape[-2] == k.shape[-2] or not FUSED_RECT_DISABLE))
         if use_fused:
             from vptr_tpu.ops.attention_core import attention_core
 

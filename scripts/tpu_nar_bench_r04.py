@@ -28,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 ROWS = [
     {"name": "nar_mnist_r4_defaults", "preset": "nar_mnist"},
-    {"name": "nar_bair_rect_fused", "preset": "nar_bair"},
+    {"name": "nar_bair_rect_fused", "preset": "nar_bair",
+     "rect_disable": False},
     {"name": "nar_bair_rect_xla", "preset": "nar_bair", "rect_disable": True},
 ]
 
@@ -38,6 +39,7 @@ def run_row(row: dict, steps: int) -> dict:
     from vptr_tpu.models import layers
     from vptr_tpu.train.trainer import Trainer
 
+    prev_rect_disable = layers.FUSED_RECT_DISABLE
     layers.FUSED_RECT_DISABLE = bool(row.get("rect_disable"))
     try:
         cfg = get_preset(row["preset"]).override({"dtype": "bfloat16"})
@@ -72,7 +74,7 @@ def run_row(row: dict, steps: int) -> dict:
                 "compile_s": round(compile_s, 1),
                 "loss_first": round(loss0, 6), "loss_last": round(loss, 6)}
     finally:
-        layers.FUSED_RECT_DISABLE = False
+        layers.FUSED_RECT_DISABLE = prev_rect_disable
 
 
 def main():

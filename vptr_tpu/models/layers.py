@@ -35,12 +35,16 @@ Dtype = Any
 # instance's fused_full_blocks (see MultiHeadAttention._ff_blocks)
 FUSED_FULL_BLOCKS_OVERRIDE = None
 
-# sweep/measurement hook: True routes rectangular (Lq != Lk) cross-attention
-# to XLA even when fused=True, for in-step A/B of the rectangular kernel at
-# the nar_bair geometry (standalone the kernel is ~1 ms slower at tiny Lk —
-# BENCH_NOTES round 4 — but in-step fusion-boundary effects can flip that;
-# the shipped routing follows the in-step measurement)
-FUSED_RECT_DISABLE = False
+# True routes rectangular (Lq != Lk) cross-attention to XLA even when
+# fused=True. Default True BY MEASUREMENT (round 4, scripts/tpu_nar_bench_r04
+# + results_r04/nar_bench.jsonl): in-step at the published nar_bair geometry
+# XLA is 2.4% faster than the rectangular core kernel (155.09 vs 158.76
+# ms/step), agreeing with the standalone probes (~1 ms slower at tiny Lk —
+# at Lk=2..32 the XLA logits tensor is small enough that lane-padding
+# traffic never dominates). Square (Lq == Lk) self-attention is unaffected
+# and keeps the fused core. Set False to route rect shapes to the kernel
+# (A/B hook; numerics are bit-equal either way at fwd).
+FUSED_RECT_DISABLE = True
 
 xavier_uniform = nn.initializers.xavier_uniform()
 trunc_normal_002 = nn.initializers.truncated_normal(stddev=0.02)

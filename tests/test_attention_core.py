@@ -185,9 +185,14 @@ def test_core_rectangular_dropout_matches_masked_reference():
                                    atol=1e-3, rtol=1e-3, err_msg=name)
 
 
-def test_mha_fused_cross_attention_matches_unfused():
-    """MultiHeadAttention's fused gate now admits Lq != Lk cross-attention;
-    the result must match the XLA path with the same params."""
+def test_mha_fused_cross_attention_matches_unfused(monkeypatch):
+    """MultiHeadAttention's fused gate admits Lq != Lk cross-attention;
+    the result must match the XLA path with the same params. The shipped
+    routing sends rect shapes to XLA (measured faster at small Lk, round 4)
+    so the kernel route is forced here to keep it covered."""
+    from vptr_tpu.models import layers as layers_mod
+
+    monkeypatch.setattr(layers_mod, "FUSED_RECT_DISABLE", False)
     dim, heads, lq, lk, B = 24, 4, 10, 2, 6
     q = jnp.asarray(RNG.normal(size=(B, lq, dim)).astype(np.float32))
     kv = jnp.asarray(RNG.normal(size=(B, lk, dim)).astype(np.float32))

@@ -279,12 +279,17 @@ def test_nar_tslma_fused_matches_unfused():
 
 
 @pytest.mark.parametrize("tslma", [False, True])
-def test_nar_rectangular_fused_matches_unfused(tslma):
+def test_nar_rectangular_fused_matches_unfused(tslma, monkeypatch):
     """At the published BAIR geometry (Tp=2 != Tf=10) the enc-dec attention
     is rectangular (Tf queries over Tp memory; TSLMA windows Tf*16 over
     Tp*16). The rectangular fused core kernel must reproduce the XLA path —
     outputs AND parameter gradients (reference enc-dec attention:
-    VidHRFormer_modules.py:194-206)."""
+    VidHRFormer_modules.py:194-206). The shipped routing sends rect shapes
+    to XLA (measured faster at small Lk, round 4), so the kernel route is
+    forced here to keep the rectangular kernel covered."""
+    from vptr_tpu.models import layers as layers_mod
+
+    monkeypatch.setattr(layers_mod, "FUSED_RECT_DISABLE", False)
     base = dict(num_past_frames=2, num_future_frames=10,
                 num_encoder_layers=1, num_decoder_layers=1, tslma=tslma,
                 rpe=True, **TINY)

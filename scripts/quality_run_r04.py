@@ -72,6 +72,9 @@ def main():
     p.add_argument("--ckpt-dir", default="/tmp/quality_r04")
     p.add_argument("--eval-batches", type=int, default=8)
     p.add_argument("--ckpt-per-epochs", type=int, default=3)
+    p.add_argument("--val-per-epochs", type=int, default=2,
+                   help="stage-2 val cadence (each val epoch costs ~70 s "
+                   "on the relay: val pass + GIF host transfer)")
     p.add_argument("--chunk-epochs", type=int, default=None,
                    help="train at most this many stage-2 epochs per process, "
                    "then exit 3 if more remain (relay client leaks host RSS; "
@@ -97,7 +100,7 @@ def main():
         "ckpt_dir": f"{args.ckpt_dir}/nar_bair",
         "ckpt_keep": 1,
         "ckpt_per_epochs": args.ckpt_per_epochs,
-        "val_per_epochs": 2,
+        "val_per_epochs": args.val_per_epochs,
         "ae_ckpt": ae_ckpt,
         # the round-4 composed bench config: first-moment bf16 halves the
         # AdamW update's mu traffic (sweep: -1.3 ms/step, losses matching

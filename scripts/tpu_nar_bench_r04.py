@@ -31,6 +31,17 @@ ROWS = [
     {"name": "nar_bair_rect_fused", "preset": "nar_bair",
      "rect_disable": False},
     {"name": "nar_bair_rect_xla", "preset": "nar_bair", "rect_disable": True},
+    # BASELINE config 4 at its literal geometry (KTH grayscale 128x128,
+    # 10 -> 20/40): the 16x16-latent path (16 windows/frame) on real
+    # hardware — the preset previously had only a CPU smoke test.
+    # At the preset's batch 16 the un-remat'd step needs 22.4G of the
+    # chip's 15.75G HBM (measured, this session); the two ways to fit are
+    # half batch or block remat — both measured so the preset ships with
+    # the faster one documented.
+    {"name": "nar_kth_128_b8", "preset": "nar_kth_128",
+     "override": {"data": {"batch_size": 8}}},
+    {"name": "nar_kth_128_b16_remat", "preset": "nar_kth_128",
+     "override": {"transformer": {"remat": True}}},
 ]
 
 
@@ -42,7 +53,8 @@ def run_row(row: dict, steps: int) -> dict:
     prev_rect_disable = layers.FUSED_RECT_DISABLE
     layers.FUSED_RECT_DISABLE = bool(row.get("rect_disable"))
     try:
-        cfg = get_preset(row["preset"]).override({"dtype": "bfloat16"})
+        cfg = get_preset(row["preset"]).override(
+            {"dtype": "bfloat16", **row.get("override", {})})
         trainer = Trainer(cfg, write_outputs=False)
         state = trainer.init_state()
         d = cfg.data

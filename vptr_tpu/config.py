@@ -386,6 +386,11 @@ _register("nar_kth", ExperimentConfig(
 #     upstream recipe to cite; it exists so the 16x16-latent path (16
 #     windows/frame, geometry-bound frame_queries and pos embeds) is a
 #     shipped, tested configuration. Same recipe as nar_kth otherwise.
+#     Batch is 8, not nar_kth's 16: at batch 16 the un-remat'd bf16 train
+#     step needs 22.4 GB on a 15.75 GB v5e (measured OOM), and the two
+#     fits measured on-chip are batch 8 at 193.6 frames/s vs batch 16 +
+#     transformer.remat at 139.2 — half batch wins by 39%
+#     (results_r04/nar_bench.jsonl).
 _register("nar_kth_128", ExperimentConfig(
     name="nar_kth_128", stage="nar", epochs=100,
     ae=AutoencoderConfig(img_channels=1, out_layer="tanh"),
@@ -393,7 +398,7 @@ _register("nar_kth_128", ExperimentConfig(
         variant="nar", num_encoder_layers=4, num_decoder_layers=8, rpe=True,
         enc_h=16, enc_w=16),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
-    data=dataclasses.replace(_kth_data(16), img_size=128,
+    data=dataclasses.replace(_kth_data(8), img_size=128,
                              test_future_frames=40),
     loss=LossConfig(lam_nce=0.1),
 ))

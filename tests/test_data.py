@@ -102,6 +102,22 @@ def test_build_dataset_synthetic_fallback():
     assert past.shape[1:] == (10, 64, 64, 1)
 
 
+def test_synthetic_fallback_honors_dataset_transform_recipe():
+    """The synthetic stand-in must apply the NAMED dataset's augmentation
+    recipe: BAIR's transform is ToTensor+Normalize only — never flips
+    (reference: utils/dataset.py:52-55) — while MNIST/KTH train transforms
+    flip (utils/dataset.py:25,38). A surrogate 'bair' run training with
+    flips would claim fidelity to a recipe it does not follow."""
+    for name, want_flips in [("bair", False), ("mnist", True),
+                             ("kth", True), ("synthetic", True)]:
+        cfg = DataConfig(dataset=name, data_dir="/nonexistent/path")
+        ds = build_dataset(cfg, split="train")
+        assert isinstance(ds, SyntheticMovingMNIST)
+        assert ds.transform.flips is want_flips, (name, ds.transform.flips)
+        # eval splits never flip, for any dataset
+        assert build_dataset(cfg, split="val").transform.flips is False
+
+
 # ---------------------------------------------------------------------------
 # person-run filter + clip video export (reference: pre_processing.py:118-176,
 # dataset.py:270-288)

@@ -130,6 +130,44 @@ def test_bi_patch_nce_stops_gradient_on_negatives():
                                tp.grad.numpy(), atol=1e-5, rtol=1e-4)
 
 
+def test_bi_patch_nce_reference_recipe_temperature_one():
+    """The RECIPE constant, not the class default: both reference NAR train
+    scripts construct BiPatchNCE(N, Tf, encH, encW, 1.0)
+    (reference: train_NAR.py:213, train_NAR_mp.py:128), overriding
+    criterion.py:211's 0.07. Oracle re-derives the full recipe chain —
+    F.normalize(dim=channel) on both feature sets (train_NAR.py:36) then the
+    bidirectional masked-matmul CE at temperature 1.0 with negatives
+    detached (criterion.py:227-259) — and checks value AND gradient."""
+    from vptr_tpu.losses import l2_normalize_channels
+
+    n, t, h, w, c = 2, 3, 4, 4, 6
+    gt = RNG.normal(size=(n, t, h, w, c)).astype(np.float32)
+    pred = RNG.normal(size=(n, t, h, w, c)).astype(np.float32)
+    temp = 1.0
+
+    def loss_fn(p):
+        return bi_patch_nce(l2_normalize_channels(jnp.asarray(gt)),
+                            l2_normalize_channels(p), temp)
+
+    got, g = jax.value_and_grad(loss_fn)(jnp.asarray(pred))
+
+    tp_raw = torch.tensor(pred, requires_grad=True)
+    tg = F.normalize(torch.tensor(gt), p=2, dim=-1).reshape(n * t, h * w, c)
+    tp = F.normalize(tp_raw, p=2, dim=-1).reshape(n * t, h * w, c)
+    mask = torch.eye(h * w).unsqueeze(0).repeat(n * t, 1, 1)
+    s1 = (torch.matmul(tg, tp.transpose(1, 2)) * mask +
+          torch.matmul(tg, tp.detach().transpose(1, 2)) * (1 - mask)) / temp
+    s2 = (torch.matmul(tp, tg.transpose(1, 2)) * mask +
+          torch.matmul(tp, tg.detach().transpose(1, 2)) * (1 - mask)) / temp
+    target = torch.argmax(mask.flatten(0, 1), dim=1)
+    ref = 0.5 * (F.cross_entropy(s1.flatten(0, 1), target) +
+                 F.cross_entropy(s2.flatten(0, 1), target))
+    ref.backward()
+    assert abs(float(got) - ref.item()) < 1e-5
+    np.testing.assert_allclose(np.asarray(g), tp_raw.grad.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_noam_schedule_shape():
     sched = noam_schedule(512, factor=2.0, warmup_steps=100)
     lrs = [float(sched(s)) for s in [1, 50, 100, 200, 1000]]

@@ -17,6 +17,30 @@ SHRINK = {
 }
 
 
+def test_recipe_constants_match_reference():
+    """Pin the RECIPE constants the reference's train scripts pass, not the
+    class defaults they override — exactly the wiring a per-module parity
+    test cannot see.
+
+    * Both NAR scripts build BiPatchNCE(..., 1.0), overriding the 0.07
+      class default (reference: train_NAR.py:213, train_NAR_mp.py:128 vs
+      criterion.py:211) — every NAR preset must carry temperature 1.0.
+    * Every reference BAIR script builds the AE with zero padding
+      (reference: train_NAR.py:171,188-189, train_FAR_mp.py:293) — the
+      BAIR presets must not ship the reflect default.
+    * lam_pc = 0.1 in both NAR scripts (train_NAR.py:174, train_NAR_mp.py:307).
+    """
+    for name in list_presets():
+        cfg = get_preset(name)
+        if cfg.stage == "nar":
+            assert cfg.loss.nce_temperature == 1.0, name
+            assert cfg.loss.lam_nce == 0.1, name
+        if cfg.data.dataset == "bair":
+            assert cfg.ae.padding_type == "zero", name
+        else:
+            assert cfg.ae.padding_type == "reflect", name
+
+
 @pytest.mark.parametrize("name", list_presets())
 @pytest.mark.slow
 def test_preset_one_step(name):
@@ -42,6 +66,13 @@ def test_preset_one_step(name):
         assert np.isfinite(float(v)), (name, k, v)
     em, pred = tr.eval_step(state, *tr.put_batch(past, future))
     assert np.isfinite(float(list(em.values())[0]))
+    if cfg.stage == "nar" and cfg.loss.lam_nce is not None:
+        # the reference computes the NCE term in validation too
+        # (train_NAR.py:92-104): val T_total must include lam_pc * T_bpc
+        assert "T_bpc" in em, sorted(em)
+        assert abs(float(em["T_total"]) - (float(em["T_MSE"])
+                   + float(em["T_GDL"])
+                   + cfg.loss.lam_nce * float(em["T_bpc"]))) < 1e-4
 
 @pytest.mark.slow
 def test_nar_kth_128_geometry_runs():

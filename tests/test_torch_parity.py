@@ -49,7 +49,13 @@ torch.manual_seed(99)
 
 
 def _sd(module):
-    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    # .copy() is load-bearing: .numpy() returns a VIEW of the parameter
+    # storage, and jnp.asarray on the CPU backend aliases aligned float32
+    # numpy buffers zero-copy — so without the copy, a later in-place torch
+    # mutation (optimizer.step(), train-mode BN running-stat updates)
+    # silently rewrites the "initial" jax variables too
+    return {k: v.detach().numpy().copy()
+            for k, v in module.state_dict().items()}
 
 
 def _randomize_bn(module):

@@ -209,7 +209,14 @@ class LossConfig:
     lam_gan: Optional[float] = None     # None = no GAN term
     gan_mode: str = "vanilla"           # vanilla | lsgan | wgangp
     lam_nce: Optional[float] = None     # NAR only; 0.1 in train_NAR.py:174
-    nce_temperature: float = 0.07
+    nce_temperature: float = 0.07       # BiPatchNCE class default
+                                        # (criterion.py:211). NOTE: both
+                                        # reference NAR train scripts override
+                                        # this to 1.0 (train_NAR.py:213,
+                                        # train_NAR_mp.py:128) — every NAR
+                                        # preset ships nce_temperature=1.0;
+                                        # 0.07 here mirrors only the class
+                                        # default for ad-hoc configs
     gdl_alpha: float = 1.0
     temporal_weight: bool = False       # exp-increasing per-step weight (criterion.py:8-13)
 
@@ -332,9 +339,15 @@ _register("ae_kth", ExperimentConfig(
     loss=LossConfig(lam_gan=0.01, gan_mode="vanilla"),
 ))
 
+# BAIR builds the AE with ZERO padding, not the reflect default — every
+# reference BAIR script does (train_NAR.py:171,188-189, train_FAR_mp.py:293);
+# and NAR presets train BiPatchNCE at temperature 1.0, the constant both NAR
+# scripts pass explicitly (train_NAR.py:213, train_NAR_mp.py:128), overriding
+# the class's 0.07 default.
 _register("ae_bair", ExperimentConfig(
     name="ae_bair", stage="ae", epochs=50,
-    ae=AutoencoderConfig(img_channels=3, out_layer="tanh"),
+    ae=AutoencoderConfig(img_channels=3, out_layer="tanh",
+                         padding_type="zero"),
     disc=DiscriminatorConfig(img_channels=3),
     optim=OptimConfig(optimizer="adam", lr=2e-4, b1=0.5, b2=0.999,
                       weight_decay=0.0, max_grad_norm=None),
@@ -351,7 +364,7 @@ _register("nar_mnist", ExperimentConfig(
         rpe=True, dropout=0.1, drop_path=0.1),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=_mnist_data(16),
-    loss=LossConfig(lam_nce=0.1),
+    loss=LossConfig(lam_nce=0.1, nce_temperature=1.0),
 ))
 
 # 3) VPTR-FAR MovingMNIST (reference: train_FAR.py:154-197)
@@ -377,7 +390,7 @@ _register("nar_kth", ExperimentConfig(
         variant="nar", num_encoder_layers=4, num_decoder_layers=8, rpe=True),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=dataclasses.replace(_kth_data(16), test_future_frames=40),
-    loss=LossConfig(lam_nce=0.1),
+    loss=LossConfig(lam_nce=0.1, nce_temperature=1.0),
 ))
 
 # 4c) VPTR-NAR KTH at 128x128 — the geometry BASELINE.json's config 4 names
@@ -400,7 +413,7 @@ _register("nar_kth_128", ExperimentConfig(
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=dataclasses.replace(_kth_data(8), img_size=128,
                              test_future_frames=40),
-    loss=LossConfig(lam_nce=0.1),
+    loss=LossConfig(lam_nce=0.1, nce_temperature=1.0),
 ))
 
 # 4b) VPTR-NAR BAIR action-free 2 -> 10 train, 2 -> 28 eval — the published
@@ -408,19 +421,21 @@ _register("nar_kth_128", ExperimentConfig(
 #     train_NAR.py:160-216)
 _register("nar_bair", ExperimentConfig(
     name="nar_bair", stage="nar", epochs=100,
-    ae=AutoencoderConfig(img_channels=3, out_layer="tanh"),
+    ae=AutoencoderConfig(img_channels=3, out_layer="tanh",
+                         padding_type="zero"),
     transformer=TransformerConfig(
         variant="nar", num_past_frames=2, num_future_frames=10,
         num_encoder_layers=4, num_decoder_layers=8, rpe=True),
     optim=OptimConfig(optimizer="adamw", lr=1e-4, max_grad_norm=1.0),
     data=_bair_data(16, test_future=28),
-    loss=LossConfig(lam_nce=0.1),
+    loss=LossConfig(lam_nce=0.1, nce_temperature=1.0),
 ))
 
 # 5) VPTR-FAR BAIR with data-parallel mesh (train_FAR_mp.py:295-316 parity)
 _register("far_bair_dp", ExperimentConfig(
     name="far_bair_dp", stage="far", epochs=100,
-    ae=AutoencoderConfig(img_channels=3, out_layer="tanh"),
+    ae=AutoencoderConfig(img_channels=3, out_layer="tanh",
+                         padding_type="zero"),
     transformer=TransformerConfig(
         variant="far", num_past_frames=2, num_future_frames=10,
         num_encoder_layers=12, rpe=False),

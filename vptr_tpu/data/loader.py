@@ -146,9 +146,15 @@ def build_dataset(cfg, *, split: str = "train", seed: int = 0):
     if name == "synthetic" or not cfg.data_dir or \
             not Path(cfg.data_dir).exists():
         # no data on disk -> deterministic synthetic stand-in matching the
-        # requested geometry (any dataset name)
+        # requested geometry (any dataset name). The stand-in honors the
+        # NAMED dataset's transform recipe: BAIR's is ToTensor+Normalize
+        # only — no flip augmentation (reference: utils/dataset.py:52-55)
+        # — while MNIST/KTH train transforms flip (utils/dataset.py:25,38),
+        # so a surrogate "bair" run must not train with an augmentation the
+        # real recipe lacks.
         tf = ClipTransform(mean=cfg.mean, std=cfg.std,
-                           flips=train and cfg.random_flip)
+                           flips=train and cfg.random_flip
+                           and name != "bair")
         num_clips = {"train": 4096, "val": 256, "test": 256}[split]
         num_past = (cfg.num_past_frames if split != "test"
                     else cfg.test_past_frames)

@@ -172,7 +172,10 @@ class ResnetEncoder(nn.Module):
     def __call__(self, x, *, train: bool = False, deterministic: bool = True):
         use_bias = self.norm == "instance"
         normal_002 = make_conv_init(self.init_type)
-        y = _pad2d(x, 3, self.padding_type)
+        # the stem's reflect pad is UNCONDITIONAL in the reference —
+        # padding_type switches only the res blocks
+        # (reference: ResNetAutoEncoder.py:26 vs :128-152)
+        y = _pad2d(x, 3, "reflect")
         y = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=use_bias,
                     kernel_init=normal_002, dtype=self.dtype, name="stem")(y)
         y = _NormAct(self.norm, self.dtype, name="stem_na")(y, train=train)
@@ -219,7 +222,9 @@ class ResnetDecoder(nn.Module):
                                    dtype=self.dtype, kernel_init=normal_002,
                                    name=f"up{i}")(y)
             y = _NormAct(self.norm, self.dtype, name=f"up{i}_na")(y, train=train)
-        y = _pad2d(y, 3, self.padding_type)
+        # head reflect pad is unconditional, like the encoder stem
+        # (reference: ResNetAutoEncoder.py:89)
+        y = _pad2d(y, 3, "reflect")
         y = nn.Conv(self.img_channels, (7, 7), padding="VALID", use_bias=True,
                     kernel_init=normal_002, dtype=self.dtype, name="head")(y)
         if self.out_layer == "tanh":

@@ -406,6 +406,14 @@ def make_nar_train_step(enc, dec, transformer, disc, t_opt, d_opt, loss_cfg,
 
 
 def make_nar_eval_step(enc, dec, transformer, loss_cfg):
+    # The reference's NAR validation computes the BiPatchNCE term too —
+    # single_iter(train_flag=False) projects pred/gt feats through the NCE
+    # head and folds lam_pc * T_bpc into loss_T exactly as in training
+    # (reference: train_NAR.py:92-104 with cal_lossT train_NAR.py:49-62) —
+    # so val T_total here must include it to be reference-comparable.
+    lam_nce = loss_cfg.lam_nce
+    use_nce = lam_nce is not None
+
     def step(state: Stage2TrainState, past, future):
         past_feats = enc.apply(state.enc.variables(), past, train=False)
         pred_feats = transformer.apply(state.transformer.variables(),
@@ -414,7 +422,24 @@ def make_nar_eval_step(enc, dec, transformer, loss_cfg):
                                 train=False)
         l_mse = mse_loss(pred_frames, future)
         l_gdl = gdl_loss(future, pred_frames, alpha=loss_cfg.gdl_alpha)
-        return ({"T_MSE": l_mse, "T_GDL": l_gdl, "T_total": l_mse + l_gdl},
-                pred_frames)
+        total = l_mse + l_gdl
+        metrics = {"T_MSE": l_mse, "T_GDL": l_gdl}
+        if use_nce:
+            future_feats = enc.apply(state.enc.variables(), future,
+                                     train=False)
+            t_vars = state.transformer.variables()
+            proj_pred = transformer.apply(
+                t_vars, pred_feats, method=transformer.nce_project,
+                mutable=False)
+            proj_gt = transformer.apply(
+                t_vars, future_feats, method=transformer.nce_project,
+                mutable=False)
+            l_nce = bi_patch_nce(l2_normalize_channels(proj_gt),
+                                 l2_normalize_channels(proj_pred),
+                                 loss_cfg.nce_temperature)
+            metrics["T_bpc"] = l_nce
+            total = total + lam_nce * l_nce
+        metrics["T_total"] = total
+        return metrics, pred_frames
 
     return step

@@ -302,6 +302,21 @@ class Trainer:
                     else NamedSharding(self.mesh, P(None, DATA_AXIS)))
         return (self._stage(past_k, sharding), self._stage(future_k, sharding))
 
+    @staticmethod
+    def _local_rows(arr) -> np.ndarray:
+        """Host-local rows of a batch-sharded device array. Single-process:
+        the whole array. Multi-host: a global jax.Array is not fully
+        addressable from one process, so assemble this host's rows (the ones
+        its loader staged — process-major device order keeps them contiguous
+        and in global row order) from the addressable shards; replicated
+        shards (index start None) dedupe to one copy."""
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(arr))
+        rows = {}
+        for s in arr.addressable_shards:
+            rows[s.index[0].start or 0] = np.asarray(s.data)
+        return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
     def _stage(self, arr: np.ndarray, sharding):
         # cast to the compute dtype on the HOST (ml_dtypes-backed numpy
         # cast — identical round-to-nearest values to a device-side cast):
@@ -342,7 +357,14 @@ class Trainer:
         train_loader = build_loader(cfg.data, split="train", seed=cfg.seed,
                                     host_id=jax.process_index(),
                                     num_hosts=jax.process_count())
-        val_loader = build_loader(cfg.data, split="val", seed=cfg.seed)
+        # val is host-sharded too: each host stages its shard of the global
+        # val batch (like the reference's val DistributedSampler,
+        # train_FAR_mp.py:76) — without this every host would redundantly
+        # iterate the full val set and put_batch would assemble a global
+        # batch of identical per-host copies
+        val_loader = build_loader(cfg.data, split="val", seed=cfg.seed,
+                                  host_id=jax.process_index(),
+                                  num_hosts=jax.process_count())
 
         profiling = False
         for epoch in range(start_epoch + 1, start_epoch + epochs + 1):
@@ -463,8 +485,12 @@ class Trainer:
                 for past, future in val_loader:
                     metrics, pred = self.eval_step(
                         state, *self.put_batch(past, future))
+                    # metrics are global-batch means (replicated — safe to
+                    # fetch on every host); the GIF sample fetches only this
+                    # host's rows, since a cross-process global jax.Array is
+                    # not fully addressable from one host
                     vmeters.update(jax.device_get(metrics))
-                    sample = (past, future, jax.device_get(pred))
+                    sample = (past, future, self._local_rows(pred))
                 vavg = vmeters.averages()
                 if self.writer is not None:
                     self.writer.write_scalars(epoch, vavg, prefix="val/")

@@ -124,10 +124,13 @@ def _res_block(sd: StateDict, key: str, padding_type: str,
 def import_vptr_enc(sd: StateDict, n_downsampling: int = 3,
                     n_res_blocks: int = 9, padding_type: str = "reflect",
                     use_dropout: bool = False) -> dict:
-    """VPTREnc state_dict (keys ``encoder.model.*``) -> flax variables."""
-    pad = 0 if padding_type == "zero" else 1
+    """VPTREnc state_dict (keys ``encoder.model.*``) -> flax variables.
+
+    ``padding_type`` shifts only the RES BLOCK inner indices — the stem's
+    ReflectionPad2d(3) is unconditional (ResNetAutoEncoder.py:26), so the
+    stem conv sits at index 1 for every padding mode."""
     base = "encoder.model"
-    stem = pad                      # conv right after the (optional) pad
+    stem = 1                        # conv right after the stem reflect pad
     params = {"stem": _conv(sd, f"{base}.{stem}"),
               "stem_na": {"BatchNorm_0": _bn_params(sd, f"{base}.{stem + 1}")}}
     stats = {"stem_na": {"BatchNorm_0": _bn_stats(sd, f"{base}.{stem + 1}")}}
@@ -165,6 +168,24 @@ def import_vptr_dec(sd: StateDict, n_downsampling: int = 3) -> dict:
 # ---------------------------------------------------------------------------
 # VidHRFormer (VidHRFormer_modules.py:30-211)
 # ---------------------------------------------------------------------------
+
+def import_vptr_disc(sd: StateDict, n_layers: int = 3) -> dict:
+    """VPTRDisc (PatchGAN) state_dict -> PatchDiscriminator variables.
+
+    The reference's Sequential layout (reference: model/VPTR_modules.py:68-92,
+    batch-norm case): index 0 = stem conv (bias), then per growth step
+    n=1..n_layers-1 a (conv, BN, LeakyReLU) triple at 3n-1..3n+1, the
+    stride-1 conv/BN at 3*n_layers-1 and 3*n_layers, and the 1-channel head
+    at 3*n_layers+2."""
+    params = {"conv0": _conv(sd, "model.0")}
+    stats = {}
+    for n in range(1, n_layers + 1):
+        params[f"conv{n}"] = _conv(sd, f"model.{3 * n - 1}")
+        params[f"norm{n}"] = _bn_params(sd, f"model.{3 * n}")
+        stats[f"norm{n}"] = _bn_stats(sd, f"model.{3 * n}")
+    params["head"] = _conv(sd, f"model.{3 * n_layers + 2}")
+    return {"params": params, "batch_stats": stats}
+
 
 def _slmhsa(sd: StateDict, key: str, rpe: bool) -> dict:
     """SpatialLocalMultiheadAttention: packed nn.MHA when rpe=False, split
@@ -331,8 +352,14 @@ def import_reference_checkpoint(path: str, map_location: str = "cpu") -> dict:
             # the first res block sits at index 3*n_down + 4
             n_res = len(res_idx)
             n_down = (res_idx[0] - 4) // 3 if res_idx else 3
+            # zero padding has no pad layer inside the block, so the first
+            # inner conv sits at conv_block.0 (ResNetAutoEncoder.py:128-138)
+            pad_type = ("zero" if res_idx and
+                        f"encoder.model.{res_idx[0]}.conv_block.0.weight"
+                        in sd else "reflect")
             out[name] = import_vptr_enc(sd, n_downsampling=n_down,
-                                        n_res_blocks=n_res)
+                                        n_res_blocks=n_res,
+                                        padding_type=pad_type)
         elif any(k.startswith("decoder.model") for k in sd):
             # ConvTranspose+BN pairs sit at indices (0,1), (3,4), ...
             idxs = sorted({int(k.split(".")[2]) for k in sd
@@ -352,8 +379,13 @@ def import_reference_checkpoint(path: str, map_location: str = "cpu") -> dict:
                             for k in sd if k.startswith("transformer.encoder.layers"))
             rpe = any("relative_position_bias_table" in k for k in sd)
             out[name] = import_far_transformer(sd, n_enc, rpe)
-        # unknown modules (e.g. the PatchGAN disc) are skipped: stage-2
-        # inference and eval only need Enc/Dec/Transformer
+        elif any(k.startswith("model.0.") for k in sd) and \
+                any(k.endswith("running_mean") for k in sd):
+            # PatchGAN disc: flat Sequential of convs + BNs; head conv sits
+            # at 3*n_layers+2 (model/VPTR_modules.py:68-92)
+            max_idx = max(int(k.split(".")[1]) for k in sd)
+            out[name] = import_vptr_disc(sd, n_layers=(max_idx - 2) // 3)
+        # other unknown modules are skipped
     return out
 
 

@@ -10,7 +10,12 @@ host-sharded batch. Covers what the single-process fake cluster cannot
 * global-batch assembly through ``jax.make_array_from_process_local_data``
   (trainer.py ``_stage`` under ``process_count() > 1``),
 * the ragged-batch-under-multi-host ValueError,
-* host-0-only observability (logger / TB writer gating).
+* host-0-only observability (logger / TB writer gating),
+* multi-host EVALUATION: ``eval_step`` loss metrics and ``evaluate()``
+  per-timestep curves on a host-sharded val batch (global means, identical
+  on every host and to the single-process run), and ``_local_rows`` — the
+  GIF-sample fetch of this host's rows from a batch-sharded global array
+  that is not fully addressable from one process.
 
 Prints one ``RESULT {json}`` line the parent asserts on.
 """
@@ -72,11 +77,37 @@ def main():
     except ValueError:
         ragged_raised = True
 
+    # ---- multi-host evaluation (the val path trainer.train() runs) ----
+    # eval_step: loss metrics are global-batch means (replicated) — every
+    # host must see the values of the SINGLE global batch, not its half
+    vb = tr.put_batch(data["vpast"][lo:hi], data["vfuture"][lo:hi])
+    emetrics, pred = tr.eval_step(state, *vb)
+    emetrics = {k: float(v) for k, v in emetrics.items()}
+    # the GIF-sample fetch: a cross-process global jax.Array is not fully
+    # addressable from one host; _local_rows must return exactly this
+    # host's rows of the global prediction
+    local = tr._local_rows(pred)
+    local_row_means = [float(np.mean(r)) for r in np.asarray(local)]
+
+    # evaluate(): per-timestep metric curves with a host-sharded loader
+    # (each host's loader yields ITS rows; put_batch assembles the global
+    # batch) — curves are global means, identical on every host
+    from vptr_tpu.eval.harness import evaluate
+
+    curves = evaluate(tr, state, [(data["vpast"][lo:hi],
+                                   data["vfuture"][lo:hi])],
+                      mode="far", num_pred=2)
+    curves = {m: [float(v) for v in c] for m, c in curves.items()}
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "metrics": metrics,
         "ragged_raised": ragged_raised,
         "host0_outputs": host0_outputs,
+        "eval_metrics": emetrics,
+        "local_rows_shape": list(np.asarray(local).shape),
+        "local_row_means": local_row_means,
+        "curves": curves,
     }), flush=True)
 
 

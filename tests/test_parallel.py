@@ -119,9 +119,14 @@ def test_two_process_distributed_matches_single():
     jax.distributed CPU cluster (4 fake devices each, 8 global) and run one
     FAR train step on host-sharded batch halves. Asserts (a) global-batch
     assembly via make_array_from_process_local_data reproduces the
-    single-process step, (b) the ragged-multi-host ValueError fires, and
-    (c) only host 0 constructs the logger/TB writer. Parity target: the
-    reference's DDP drivers (train_FAR_mp.py:200-204,320-326)."""
+    single-process step, (b) the ragged-multi-host ValueError fires,
+    (c) only host 0 constructs the logger/TB writer, and (d) EVALUATION
+    under multi-host: eval_step metrics, evaluate() per-timestep curves
+    (both global means — identical on every host and to the
+    single-process run), and the _local_rows GIF-sample fetch returning
+    exactly this host's rows of a batch-sharded prediction. Parity
+    target: the reference's DDP drivers (train_FAR_mp.py:200-204,320-326,
+    val at train_FAR.py:120-142)."""
     import json
     import socket
     import subprocess
@@ -136,18 +141,28 @@ def test_two_process_distributed_matches_single():
     # single-process reference on the in-process 8-device cluster
     rng = np.random.default_rng(0)
     past, future = _batch(rng)
+    vpast, vfuture = _batch(np.random.default_rng(7))
     cfg = get_preset("far_mnist").override(tiny)
     tr = Trainer(cfg, mesh=make_mesh(data=8, model=1), write_outputs=False)
     s0 = tr.init_state()
     s0, m_ref = tr.train_step(s0, *tr.put_batch(past, future))
     m_ref = {k: float(v) for k, v in m_ref.items()}
+    # single-process eval reference (same post-step state: both hosts run
+    # the identical global step from the identical seeded init)
+    em_ref, pred_ref = tr.eval_step(s0, *tr.put_batch(vpast, vfuture))
+    em_ref = {k: float(v) for k, v in em_ref.items()}
+    pred_ref = np.asarray(jax.device_get(pred_ref))
+    from vptr_tpu.eval.harness import evaluate
+    curves_ref = {m: [float(v) for v in c] for m, c in evaluate(
+        tr, s0, [(vpast, vfuture)], mode="far", num_pred=2).items()}
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
     with tempfile.TemporaryDirectory() as out_dir:
-        np.savez(Path(out_dir) / "batch.npz", past=past, future=future)
+        np.savez(Path(out_dir) / "batch.npz", past=past, future=future,
+                 vpast=vpast, vfuture=vfuture)
         worker = Path(__file__).parent / "_mp_worker.py"
         import os
 
@@ -187,6 +202,24 @@ def test_two_process_distributed_matches_single():
                 np.testing.assert_allclose(
                     results[pid]["metrics"][k], v, atol=1e-5, rtol=1e-5,
                     err_msg=f"{k} (host {pid})")
+        # (d) multi-host evaluation == single-process, on BOTH hosts
+        for pid in (0, 1):
+            r = results[pid]
+            for k, v in em_ref.items():
+                np.testing.assert_allclose(
+                    r["eval_metrics"][k], v, atol=1e-5, rtol=1e-5,
+                    err_msg=f"eval {k} (host {pid})")
+            for m, c in curves_ref.items():
+                np.testing.assert_allclose(
+                    r["curves"][m], c, atol=1e-5, rtol=1e-5,
+                    err_msg=f"curve {m} (host {pid})")
+            # _local_rows returned exactly this host's 4 rows of the
+            # global batch-sharded prediction
+            assert r["local_rows_shape"] == list(pred_ref[:4].shape), r
+            np.testing.assert_allclose(
+                r["local_row_means"],
+                pred_ref[pid * 4:(pid + 1) * 4].mean(axis=(1, 2, 3, 4)),
+                atol=1e-5, rtol=1e-5, err_msg=f"local rows (host {pid})")
 
 
 def test_sp_plus_tp_matches_baseline():

@@ -27,6 +27,18 @@ import time
 
 import numpy as np
 
+# whole-step composite speed-of-light on THIS chip (ms) at each preset's
+# reference batch, keyed by (preset, optim.mu_dtype) — the output of
+# scripts/composite_roofline.py at its measured default ceilings (60 TF/s
+# shape-GEMM / 150 TF/s conv / 187 GB/s HBM). Hardcoded so bench.py stays
+# dependency-light on the TPU; tests/test_composite_roofline.py re-runs
+# the script for every key and fails on drift.
+COMPOSITE_BOUND_MS = {
+    ("far_mnist", "float32"): 142.71, ("far_mnist", "bfloat16"): 140.82,
+    ("nar_mnist", "float32"): 172.65, ("nar_mnist", "bfloat16"): 170.12,
+    ("nar_bair", "float32"): 141.06, ("nar_bair", "bfloat16"): 138.53,
+}
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -168,16 +180,10 @@ def main():
     # analytic A100 baseline for the torch reference (see module docstring)
     a100_frames_per_sec = (312e12 * 0.40) / (flops / frames_per_step)
 
-    # whole-step composite speed-of-light on THIS chip (ms) at the preset's
-    # reference batch, from scripts/composite_roofline.py (measured ceilings
-    # 60 TF/s shape-GEMM / 150 TF/s conv / 187 GB/s HBM). The honest
-    # engineering metric alongside vs_baseline — see BENCH_NOTES.md
-    # "The throughput north star, resolved by arithmetic".
-    composite_bound_ms = {
-        ("far_mnist", "float32"): 142.71, ("far_mnist", "bfloat16"): 140.82,
-        ("nar_mnist", "float32"): 172.65, ("nar_mnist", "bfloat16"): 170.12,
-        ("nar_bair", "float32"): 141.06, ("nar_bair", "bfloat16"): 138.53,
-    }.get((args.preset, cfg.optim.mu_dtype))
+    # the honest engineering metric alongside vs_baseline — see
+    # BENCH_NOTES.md "The throughput north star, resolved by arithmetic"
+    composite_bound_ms = COMPOSITE_BOUND_MS.get(
+        (args.preset, cfg.optim.mu_dtype))
 
     diag = {"steps_per_sec": round(steps_per_sec, 3),
             "transformer_tflops_per_step": round(flops / 1e12, 3),

@@ -63,11 +63,15 @@ def run_row(row: dict, steps: int) -> dict:
         clips = lambda t: rng.random(
             (batch, t, d.img_size, d.img_size, d.img_channels), np.float32)
 
+        # k DISTINCT batches per dispatch (identical copies would let XLA
+        # CSE across scan steps and misstate the step time — bench.py's
+        # k>1 path does the same); ceil division so --steps not divisible
+        # by k rounds up instead of silently timing fewer steps
         k = trainer.steps_per_dispatch
         bk = trainer.put_batch_stacked(
-            np.stack([clips(d.num_past_frames)] * k),
-            np.stack([clips(d.num_future_frames)] * k))
-        dispatches = max(1, steps // k)
+            np.stack([clips(d.num_past_frames) for _ in range(k)]),
+            np.stack([clips(d.num_future_frames) for _ in range(k)]))
+        dispatches = max(1, -(-steps // k))
 
         t_c = time.perf_counter()
         state, metrics = trainer.multi_train_step(state, *bk)

@@ -45,6 +45,25 @@ def test_bound_below_measured_step(preset):
             "adamw_update"} <= names
 
 
+def test_bench_table_matches_script():
+    """bench.py's hardcoded COMPOSITE_BOUND_MS table duplicates the
+    script's output (kept inline so bench.py stays dependency-light on
+    the TPU); the bound already changed once in round 4 (NCE-projector
+    param undercount), so re-derive every key and fail on silent drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.COMPOSITE_BOUND_MS, "table is empty"
+    for (preset, mu_dtype), want in bench.COMPOSITE_BOUND_MS.items():
+        _, summary = run("--preset", preset, "--mu-dtype", mu_dtype)
+        got = summary["composite_step_lower_bound_ms"]
+        assert got == pytest.approx(want, abs=0.011), \
+            (preset, mu_dtype, got, want)
+
+
 def test_bound_scales_with_batch():
     _, small = run("--batch", "5")
     _, big = run("--batch", "20")

@@ -43,7 +43,11 @@ FUSED_FULL_BLOCKS_OVERRIDE = None
 # at Lk=2..32 the XLA logits tensor is small enough that lane-padding
 # traffic never dominates). Square (Lq == Lk) self-attention is unaffected
 # and keeps the fused core. Set False to route rect shapes to the kernel
-# (A/B hook; numerics are bit-equal either way at fwd).
+# (A/B hook; numerics are bit-equal either way at fwd). CAVEAT: read at
+# TRACE time — flip it BEFORE constructing/jitting the Trainer or step;
+# jit caches do not key on it, so flipping after a step has compiled
+# silently keeps the old routing (scripts/tpu_nar_bench_r04.py builds a
+# fresh Trainer per A/B row for exactly this reason).
 FUSED_RECT_DISABLE = True
 
 xavier_uniform = nn.initializers.xavier_uniform()

@@ -495,6 +495,62 @@ class _TorchZeroResBlock(nn.Module):
         return x + self.conv_block(x)
 
 
+def test_reference_ckpt_autodetects_zero_padding_and_disc(tmp_path):
+    """File-level auto-detection of the round-5 importer additions: a
+    reference epoch_N.tar whose encoder was built with padding_type='zero'
+    (no pad layer inside res blocks -> first inner conv at conv_block.0,
+    ResNetAutoEncoder.py:128-138) and whose module dict includes the
+    PatchGAN discriminator (VPTR_Disc, model/VPTR_modules.py:49-95) must
+    convert both, with forward parity."""
+    from vptr_tpu.models.autoencoder import ResnetEncoder
+    from vptr_tpu.utils.torch_import import import_reference_checkpoint
+    import test_torch_parity as ttp
+
+    torch.manual_seed(23)
+    RNG = _rng(23)
+    tenc = TorchVPTREnc(img_ch=3, feat_dim=DIM, n_res=NRES)
+    stem = list(tenc.encoder.model.children())
+    for i in [j for j, m in enumerate(stem)
+              if isinstance(m, ttp.TorchResnetBlock)]:
+        stem[i] = _TorchZeroResBlock(DIM)
+    tenc.encoder.model = nn.Sequential(*stem)
+    tdisc = TorchVPTRDisc(in_ch=3)
+    _randomize_bn(tenc)
+    _randomize_bn(tdisc)
+    tenc.eval(), tdisc.eval()
+
+    path = tmp_path / "epoch_7.tar"
+    torch.save({"epoch": 7, "loss_dict": {},
+                "Module_state_dict": {"VPTR_Enc": tenc.state_dict(),
+                                      "VPTR_Disc": tdisc.state_dict()},
+                "optimizer_state_dict": {}, "code": {}}, str(path))
+    converted = import_reference_checkpoint(str(path))
+    assert set(converted) == {"VPTR_Enc", "VPTR_Disc"}
+
+    x = _clip(RNG.normal(size=(2, 64, 64, 3)) * 0.4)
+    with torch.no_grad():
+        want_feat = tenc(torch.tensor(x.transpose(0, 3, 1, 2)))
+        want_logits = tdisc(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    enc_vars = jax.tree_util.tree_map(jnp.asarray, converted["VPTR_Enc"])
+    renc = ResnetEncoder(feat_dim=DIM, n_downsampling=3, n_res_blocks=NRES,
+                         padding_type="zero")
+    got = renc.apply(
+        {"params": enc_vars["params"]["encoder"],
+         "batch_stats": enc_vars["batch_stats"]["encoder"]},
+        jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got),
+                               want_feat.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=2e-4)
+
+    disc = PatchDiscriminator(ndf=16, n_layers=3, norm="batch")
+    disc_vars = jax.tree_util.tree_map(jnp.asarray, converted["VPTR_Disc"])
+    got_l = disc.apply(disc_vars, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got_l),
+                               want_logits.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_zero_padded_bair_ae_matches_torch():
     torch.manual_seed(17)
     RNG = _rng(17)
